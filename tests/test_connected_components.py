@@ -1,0 +1,45 @@
+"""WCC vs hand graph + recursive-CTE oracle; frontier termination."""
+
+from graphchi_cpp_spark.algos.connected_components import (
+    component_sizes,
+    connected_components,
+    wcc_sql,
+)
+from graphchi_cpp_spark.datasets import COSUPPLY_EDGES_SQL, cosupply_edges
+from graphchi_cpp_spark.graph import PropertyGraph
+from tests.conftest import assert_df_matches_oracle
+
+
+def test_wcc_two_components(spark):
+    # component {0,1,2} and {10,11}; directed edges, WCC ignores direction
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1), (10, 11)], ["src", "dst"]
+    )
+    g = PropertyGraph.from_edges(edges)
+    cc = {r["id"]: r["component"] for r in connected_components(g).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+
+def test_wcc_chain_frontier_terminates_early(spark):
+    # long chain: frontier should still converge within max_iter
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    g = PropertyGraph.from_edges(edges)
+    cc = connected_components(g, max_iter=n + 5)
+    assert cc.filter("component != 0").count() == 0
+    assert cc.count() == n + 1
+
+
+def test_wcc_cosupply_vs_duckdb(spark, sf_dir, duck):
+    g = PropertyGraph.from_edges(cosupply_edges(spark, sf_dir))
+    result = connected_components(g)
+    assert_df_matches_oracle(result, duck, wcc_sql(COSUPPLY_EDGES_SQL))
+
+
+def test_component_sizes(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["src", "dst"])
+    g = PropertyGraph.from_edges(edges)
+    sizes = component_sizes(connected_components(g)).collect()
+    assert [(r["component"], r["size"]) for r in sizes] == [(0, 3), (5, 2)]
