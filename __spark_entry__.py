@@ -132,8 +132,77 @@ def _register_ops():
         ).select("user", "item", "rating", F.col("rank").cast("long"))
 
 
+def _register_graph_algos():
+    from graphchi_cpp_spark.algos.kcores import kcores
+    from graphchi_cpp_spark.algos.label_propagation import lpa_communities, lpa_sql
+    from graphchi_cpp_spark.algos.percolation import (
+        bond_percolation,
+        percolation_survivors_sql,
+    )
+    from graphchi_cpp_spark.algos.subgraph import khop_vertices, khop_vertices_sql
+    from graphchi_cpp_spark.algos.connected_components import wcc_sql
+    from graphchi_cpp_spark.algos.triangles import (
+        triangle_count,
+        triangles_per_vertex,
+        triangles_per_vertex_sql,
+    )
+    from graphchi_cpp_spark.datasets import BIPARTITE_EDGES_SQL, COSUPPLY_EDGES_SQL
+
+    @query("triangles_per_vertex", triangles_per_vertex_sql(COSUPPLY_EDGES_SQL))
+    def q_tpv(spark, sf_dir):
+        return triangles_per_vertex(_cosupply_graph(spark, sf_dir), orient="id")
+
+    @query(
+        "triangle_count",
+        f"""
+        WITH e AS ({COSUPPLY_EDGES_SQL})
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.src = e1.dst
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+    )
+    def q_tc(spark, sf_dir):
+        # degree orientation exercises the S11 optimization; count is
+        # orientation-invariant so the id-oriented oracle matches
+        return triangle_count(_cosupply_graph(spark, sf_dir), orient="degree")
+
+    @query("kcores")  # iterative peeling — not single-SQL-expressible
+    def q_kcores(spark, sf_dir):
+        return kcores(_cosupply_graph(spark, sf_dir))
+
+    @query("lpa_communities", lpa_sql(COSUPPLY_EDGES_SQL, 2))
+    def q_lpa(spark, sf_dir):
+        return lpa_communities(_cosupply_graph(spark, sf_dir), max_iter=2)
+
+    _SEEDS_SQL = (
+        f"SELECT id FROM (SELECT src AS id FROM ({BIPARTITE_EDGES_SQL}) "
+        f"UNION SELECT dst FROM ({BIPARTITE_EDGES_SQL})) WHERE id % 50 = 0"
+    )
+
+    @query("khop_vertices", khop_vertices_sql(BIPARTITE_EDGES_SQL, _SEEDS_SQL, 2))
+    def q_khop(spark, sf_dir):
+        g = _bipartite_graph(spark, sf_dir)
+        seeds = g.vertices.filter(F.col("id") % 50 == 0)
+        return khop_vertices(g, seeds, 2)
+
+    @query(
+        "bond_percolation",
+        wcc_sql(
+            percolation_survivors_sql(COSUPPLY_EDGES_SQL, 0.5),
+            vertices_sql=(
+                f"SELECT src AS id FROM ({COSUPPLY_EDGES_SQL}) "
+                f"UNION SELECT dst FROM ({COSUPPLY_EDGES_SQL})"
+            ),
+        ),
+    )
+    def q_percolation(spark, sf_dir):
+        return bond_percolation(_cosupply_graph(spark, sf_dir), p=0.5)
+
+
 _register_core()
 _register_ops()
+_register_graph_algos()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -27,6 +27,9 @@ BENCH_QUERIES = [
     "wcc_sizes",
     "degree_distribution",
     "topk_per_user",
+    "triangle_count",
+    "lpa_communities",
+    "khop_vertices",
 ]
 
 

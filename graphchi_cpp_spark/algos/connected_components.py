@@ -68,10 +68,19 @@ def component_sizes(components: DataFrame) -> DataFrame:
     )
 
 
-def wcc_sql(edges_sql: str) -> str:
+def wcc_sql(edges_sql: str, vertices_sql: str | None = None) -> str:
     """DuckDB oracle: min-reachable-id via recursive CTE over the
     symmetrized graph. Component of v = min id reachable from v
-    (undirected), identical to the label-propagation fixpoint."""
+    (undirected), identical to the label-propagation fixpoint.
+
+    ``vertices_sql`` (yielding an ``id`` column) overrides the derived
+    vertex set — needed when isolated vertices must appear as singleton
+    components (e.g. after bond percolation)."""
+    verts = (
+        f"({vertices_sql})"
+        if vertices_sql is not None
+        else "(SELECT DISTINCT src AS id FROM sym UNION SELECT DISTINCT dst FROM sym)"
+    )
     return f"""
         WITH RECURSIVE
         base_edges AS ({edges_sql}),
@@ -80,7 +89,7 @@ def wcc_sql(edges_sql: str) -> str:
             UNION
             SELECT dst AS src, src AS dst FROM base_edges
         ),
-        verts AS (SELECT DISTINCT src AS id FROM sym UNION SELECT DISTINCT dst FROM sym),
+        verts AS (SELECT id FROM {verts}),
         reach(id, r) AS (
             SELECT id, id AS r FROM verts
             UNION
