@@ -200,9 +200,145 @@ def _register_graph_algos():
         return bond_percolation(_cosupply_graph(spark, sf_dir), p=0.5)
 
 
+def _register_cf():
+    from graphchi_cpp_spark.cf.als import als, recommend_top_k
+    from graphchi_cpp_spark.cf.baselines import baseline_predict, baseline_predict_sql
+    from graphchi_cpp_spark.cf.eval import ap_at_k_sql, average_precision_at_k
+    from graphchi_cpp_spark.cf.itemcf import item_similarity, item_similarity_sql
+    from graphchi_cpp_spark.datasets import RATINGS_SQL, ratings
+    from graphchi_cpp_spark.operators.toplist import top_k_per_key
+
+    @query(
+        "itemcf_jaccard",
+        f"""
+        SELECT item_a, item_b, round(sim, 6) AS sim
+        FROM ({item_similarity_sql(RATINGS_SQL, "jaccard", min_common=2)})
+        """,
+    )
+    def q_itemcf_jaccard(spark, sf_dir):
+        return item_similarity(ratings(spark, sf_dir), "jaccard", min_common=2).select(
+            "item_a", "item_b", F.round("sim", 6).alias("sim")
+        )
+
+    @query(
+        "itemcf_adamic_adar",
+        f"""
+        SELECT item_a, item_b, round(sim, 6) AS sim
+        FROM ({item_similarity_sql(RATINGS_SQL, "aa", min_common=2)})
+        """,
+    )
+    def q_itemcf_aa(spark, sf_dir):
+        return item_similarity(ratings(spark, sf_dir), "aa", min_common=2).select(
+            "item_a", "item_b", F.round("sim", 6).alias("sim")
+        )
+
+    @query(
+        "baseline_bias_predict",
+        f"""
+        SELECT "user", item, round(rating, 4) AS rating,
+               round(prediction, 4) AS prediction
+        FROM ({baseline_predict_sql(RATINGS_SQL, "bias")})
+        """,
+    )
+    def q_baseline_bias(spark, sf_dir):
+        return baseline_predict(ratings(spark, sf_dir), "bias").select(
+            "user",
+            "item",
+            F.round("rating", 4).alias("rating"),
+            F.round("prediction", 4).alias("prediction"),
+        )
+
+    # itemsim2rating (M11) with a full SQL oracle: jaccard sims → history
+    # scores (rounded to kill ulp-order differences) → top-5 unseen per user
+    _SIMS = item_similarity_sql(RATINGS_SQL, "jaccard", min_common=2)
+    _RECS_SQL = f"""
+        WITH sims AS ({_SIMS}),
+        both_dirs AS (
+            SELECT item_a, item_b, sim FROM sims
+            UNION ALL
+            SELECT item_b AS item_a, item_a AS item_b, sim FROM sims
+        ),
+        hist AS (SELECT DISTINCT "user", item FROM ({RATINGS_SQL})),
+        scores AS (
+            SELECT h."user", b.item_b AS item, round(sum(b.sim), 6) AS score
+            FROM hist h JOIN both_dirs b ON b.item_a = h.item
+            GROUP BY h."user", b.item_b
+        ),
+        unseen AS (
+            SELECT s.* FROM scores s
+            LEFT JOIN hist h ON h."user" = s."user" AND h.item = s.item
+            WHERE h.item IS NULL
+        )
+        SELECT "user", item, score, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY "user" ORDER BY score DESC, item ASC
+            ) AS rank FROM unseen
+        ) WHERE rank <= 5
+    """
+
+    def _spark_recs(spark, sf_dir):
+        r = ratings(spark, sf_dir)
+        sims = item_similarity(r, "jaccard", min_common=2)
+        both = sims.unionByName(
+            sims.select(
+                F.col("item_b").alias("item_a"),
+                F.col("item_a").alias("item_b"),
+                "sim",
+            )
+        )
+        hist = r.select("user", "item").distinct()
+        scores = (
+            hist.join(both, hist.item == both.item_a)
+            .groupBy("user", F.col("item_b").alias("item"))
+            .agg(F.round(F.sum("sim"), 6).alias("score"))
+            .join(hist, ["user", "item"], "left_anti")
+        )
+        return top_k_per_key(scores, "user", "score", 5, tiebreak_col="item").select(
+            "user", "item", "score", F.col("rank").cast("long")
+        )
+
+    query("itemsim2rating", _RECS_SQL)(_spark_recs)
+
+    # MAP-style eval (M14): AP@5 of those recs vs "liked" truth (rating >= 4)
+    _TRUTH_SQL = f'SELECT "user", item FROM ({RATINGS_SQL}) WHERE rating >= 4'
+
+    @query(
+        "ap_at_k",
+        f"""
+        SELECT "user", round(ap, 6) AS ap
+        FROM ({ap_at_k_sql(_RECS_SQL, _TRUTH_SQL, 5)})
+        """,
+    )
+    def q_ap_at_k(spark, sf_dir):
+        recs = _spark_recs(spark, sf_dir)
+        truth = ratings(spark, sf_dir).filter(F.col("rating") >= 4).select("user", "item")
+        return average_precision_at_k(recs, truth, 5).select(
+            "user", F.round("ap", 6).alias("ap")
+        )
+
+    @query("als_rmse_history")  # iterative pandas-UDF solve — rows-only check
+    def q_als_history(spark, sf_dir):
+        _, _, hist = als(ratings(spark, sf_dir), d=5, iterations=3)
+        return spark.createDataFrame(
+            [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
+            "iter int, train_rmse double",
+        )
+
+    @query("als_recommend")  # factor-based top-K — rows-only check
+    def q_als_recommend(spark, sf_dir):
+        r = ratings(spark, sf_dir)
+        uf, itf, _ = als(r, d=5, iterations=2)
+        # restrict to a deterministic user subset to bound the crossJoin
+        uf = uf.filter(F.col("user") % 100 == 0)
+        return recommend_top_k(uf, itf, seen=r, k=3).select(
+            "user", "item", F.round("score", 4).alias("score"), "rank"
+        )
+
+
 _register_core()
 _register_ops()
 _register_graph_algos()
+_register_cf()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "triangle_count",
     "lpa_communities",
     "khop_vertices",
+    "itemcf_jaccard",
+    "itemsim2rating",
+    "als_rmse_history",
 ]
 
 

@@ -1,0 +1,186 @@
+"""ALS matrix factorization (M1) — alternating grouped least-squares.
+
+Reference: ``toolkits/collaborative_filtering/als.cpp:123-151`` — per-vertex
+update solves the D×D normal equations (A^T A + λI)x = A^T b with Cholesky
+(Eigen ``ldlt``), alternating user/item sides per iteration; D=5 default
+(``example_apps/matrix_factorization/als.hpp:68``), training RMSE per
+iteration (``als.cpp:164``), validation engine ``rmse_engine.hpp:44``,
+early stop on validation-RMSE increase (``--halt_on_rmse_increase``).
+
+Spark-first mapping: one ALS half-step =
+    ratings ⋈ other-side factors (broadcast when D·N small, shuffle join
+    otherwise) → groupBy(this side) → applyInPandas(numpy solve)
+The grouped-map pandas UDF is the sanctioned escape hatch (SURVEY §2.8):
+the D×D solve is genuinely non-relational. Everything around it —
+joins, RMSE, recommendations — stays JVM-side.
+
+Determinism: factors are initialized from a hash of the id (no RNG), so
+double runs are bit-identical (determinism contract, unittest.sh:25-28).
+
+Scale notes: the shuffle is bounded by |ratings|; groups are per-user /
+per-item so power users make skewed groups — AQE handles moderate skew,
+and the D×D solve is O(deg·D² + D³) per group, linear overall. Factor
+tables are O((M+N)·D) — broadcastable for D≤16 up to ~10M ids; beyond
+that the join switches to shuffle hash automatically.
+
+``pyspark.ml.recommendation.ALS`` is the library-native alternative
+(blocked, more scalable); this implementation keeps the reference's exact
+alternating least-squares semantics and determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+D_DEFAULT = 5  # als.hpp:68 NLATENT
+LAMBDA_DEFAULT = 0.065  # als.cpp lambda default
+
+
+def _init_factors(df: DataFrame, id_col: str, d: int) -> DataFrame:
+    """Deterministic pseudo-random init in [0, 0.1) from the id hash
+    (reference inits uniform random 0..1 scaled; we fix the seed story)."""
+    comps = [
+        (
+            F.pmod(F.col(id_col) * F.lit(2654435761 + 97 * j) + F.lit(12289 * j), F.lit(100003))
+            / F.lit(1000030.0)
+        ).cast("double")
+        for j in range(d)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("factors"))
+
+
+def _solve_side(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    group_col: str,
+    other_col: str,
+    d: int,
+    reg: float,
+) -> DataFrame:
+    """One ALS half-step: solve factors for ``group_col`` given ``fixed``
+    factors of ``other_col``."""
+    schema = StructType(
+        [
+            StructField(group_col, LongType()),
+            StructField("factors", ArrayType(DoubleType())),
+        ]
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[group_col].iloc[0]
+        A = np.vstack(pdf["_f"].to_numpy())
+        b = pdf["rating"].to_numpy()
+        ata = A.T @ A + reg * len(b) * np.eye(d)  # reference scales λ by #obs
+        atb = A.T @ b
+        x = np.linalg.solve(ata, atb)
+        return pd.DataFrame({group_col: [key], "factors": [x.tolist()]})
+
+    joined = ratings.join(
+        fixed.select(F.col(other_col), F.col("factors").alias("_f")), other_col
+    ).select(group_col, "rating", "_f")
+    return joined.groupBy(group_col).applyInPandas(solve, schema)
+
+
+def predict(ratings: DataFrame, user_f: DataFrame, item_f: DataFrame) -> DataFrame:
+    """(user, item, rating, prediction) via JVM-side dot product."""
+    return (
+        ratings.join(user_f.select("user", F.col("factors").alias("_uf")), "user")
+        .join(item_f.select("item", F.col("factors").alias("_if")), "item")
+        .select(
+            "user",
+            "item",
+            "rating",
+            F.aggregate(
+                F.zip_with("_uf", "_if", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("prediction"),
+        )
+    )
+
+
+def als(
+    ratings: DataFrame,
+    d: int = D_DEFAULT,
+    iterations: int = 5,
+    reg: float = LAMBDA_DEFAULT,
+    validation: DataFrame | None = None,
+    halt_on_rmse_increase: bool = False,
+) -> tuple[DataFrame, DataFrame, list[dict]]:
+    """Run ALS; returns (user_factors, item_factors, history).
+
+    history rows: {iter, train_rmse[, validation_rmse]} — the reference
+    prints exactly this per iteration (``als.cpp:164``).
+    """
+    ratings = ratings.select("user", "item", F.col("rating").cast("double")).cache()
+    item_f = _init_factors(
+        ratings.select("item").distinct(), "item", d
+    ).localCheckpoint(eager=True)
+    user_f = None
+    history: list[dict] = []
+    prev_val = float("inf")
+
+    for it in range(iterations):
+        user_f = _solve_side(ratings, item_f, "user", "item", d, reg).localCheckpoint(
+            eager=True
+        )
+        item_f = _solve_side(ratings, user_f, "item", "user", d, reg).localCheckpoint(
+            eager=True
+        )
+        row = {"iter": it}
+        row["train_rmse"] = (
+            predict(ratings, user_f, item_f)
+            .agg(F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))))
+            .collect()[0][0]
+        )
+        if validation is not None:
+            row["validation_rmse"] = (
+                predict(validation, user_f, item_f)
+                .agg(F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))))
+                .collect()[0][0]
+            )
+            if halt_on_rmse_increase and row["validation_rmse"] > prev_val:
+                history.append(row)
+                break
+            prev_val = row["validation_rmse"]
+        history.append(row)
+    return user_f, item_f, history
+
+
+def recommend_top_k(
+    user_f: DataFrame,
+    item_f: DataFrame,
+    seen: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """M12 (rating/rating2): top-K unseen items per user from factors.
+
+    Reference: ``toolkits/collaborative_filtering/rating.cpp:210`` — blocked
+    user×item matmul minus seen pairs, then per-user top-K.
+
+    Scale note: the crossJoin is the honest cost (the reference pays it
+    too); item factors broadcast (N·D doubles), scores stream per user
+    partition, and the window top-K prunes with the group-limit rewrite.
+    For very large N, pre-filter candidates with an ANN index
+    (operators.similarity) instead.
+    """
+    from graphchi_cpp_spark.operators.toplist import top_k_per_key
+
+    scores = (
+        user_f.select("user", F.col("factors").alias("_uf"))
+        .crossJoin(F.broadcast(item_f.select("item", F.col("factors").alias("_if"))))
+        .select(
+            "user",
+            "item",
+            F.aggregate(
+                F.zip_with("_uf", "_if", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+        .join(seen.select("user", "item"), ["user", "item"], "left_anti")
+    )
+    return top_k_per_key(scores, "user", "score", k, tiebreak_col="item")

@@ -1,0 +1,160 @@
+"""Item-item similarity (M10) + itemsim2rating recommendations (M11).
+
+Reference: ``toolkits/collaborative_filtering/itemcf.cpp`` — metric enum at
+``:52-60``, ``calc_distance`` at ``:206-290``, pivot-batch update ``:316``;
+variants ``itemcf2.cpp:324``, ``itemcf3.cpp:259``;
+``itemsim2rating.cpp:254`` (similarity × user history → scores).
+
+The reference's pivot-batch set intersection is relational co-occurrence
+counting: for items a,b the intersection size is the number of users who
+rated both. Metrics over (c = |A∩B|, na = |A|, nb = |B|, and per-user
+degrees for AA/RA):
+
+- jaccard     = c / (na + nb - c)                     (itemcf.cpp:246)
+- cosine      = c / sqrt(na·nb)                       (asym-cosine α=0.5)
+- asym_cosine = c / (na^α · nb^(1-α))                 (itemcf.cpp:258)
+- prob        = c / na                                (conditional P(b|a))
+- aa          = Σ_{u∈A∩B} 1/log(deg_u)               (itemcf.cpp:228)
+- ra          = Σ_{u∈A∩B} 1/deg_u                    (itemcf.cpp:234)
+
+Scale notes: the self-join on user explodes with user-degree² — cap or
+bucket power users upstream (the reference's pivot batching plays the
+same role). All aggregations are sum/count → map-side combinable; the
+pair space is pruned to item_a < item_b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphchi_cpp_spark.operators.toplist import top_k_per_key
+
+METRICS = ("jaccard", "cosine", "asym_cosine", "prob", "aa", "ra")
+
+
+def item_similarity(
+    ratings: DataFrame,
+    metric: str = "jaccard",
+    alpha: float = 0.5,
+    min_common: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, sim) for item_a < item_b (plus both directions for
+    asymmetric metrics: prob / asym_cosine emit (a,b) meaning sim(a→b)).
+
+    ``ratings`` needs columns (user, item); rating values are ignored —
+    the reference treats the matrix as binary for these metrics.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    ui = ratings.select("user", "item").distinct()
+    item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
+    user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
+
+    a = ui.select("user", F.col("item").alias("item_a"))
+    b = ui.select(
+        "user",
+        F.col("item").alias("item_b"),
+    )
+    pairs = a.join(b, "user").filter(F.col("item_a") != F.col("item_b"))
+    symmetric = metric in ("jaccard", "cosine", "aa", "ra")
+    if symmetric:
+        pairs = pairs.filter(F.col("item_a") < F.col("item_b"))
+
+    if metric in ("aa", "ra"):
+        pairs = pairs.join(user_deg, "user")
+        contrib = (
+            F.lit(1.0) / F.log(F.col("user_deg"))
+            if metric == "aa"
+            else F.lit(1.0) / F.col("user_deg")
+        )
+        sims = (
+            pairs.groupBy("item_a", "item_b")
+            .agg(F.sum(contrib).alias("sim"), F.count("*").alias("c"))
+            .filter(F.col("c") >= min_common)
+            .select("item_a", "item_b", "sim")
+        )
+        return sims
+
+    co = pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("c"))
+    co = co.filter(F.col("c") >= min_common)
+    na = item_deg.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    nb = item_deg.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    j = co.join(na, "item_a").join(nb, "item_b")
+    if metric == "jaccard":
+        sim = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    elif metric == "cosine":
+        sim = F.col("c") / F.sqrt(F.col("na") * F.col("nb"))
+    elif metric == "asym_cosine":
+        sim = F.col("c") / (
+            F.pow(F.col("na"), F.lit(alpha)) * F.pow(F.col("nb"), F.lit(1 - alpha))
+        )
+    else:  # prob
+        sim = F.col("c") / F.col("na")
+    return j.select("item_a", "item_b", sim.cast("double").alias("sim"))
+
+
+def item_similarity_sql(ratings_sql: str, metric: str = "jaccard", min_common: int = 1) -> str:
+    """DuckDB oracle for the symmetric metrics (jaccard/cosine/aa/ra)."""
+    base = f"""
+        ui AS (SELECT DISTINCT "user", item FROM ({ratings_sql})),
+        item_deg AS (SELECT item, count(*) AS n FROM ui GROUP BY item),
+        user_deg AS (SELECT "user", count(*) AS user_deg FROM ui GROUP BY "user"),
+        pairs AS (
+            SELECT a."user", a.item AS item_a, b.item AS item_b
+            FROM ui a JOIN ui b ON a."user" = b."user" AND a.item < b.item
+        )"""
+    if metric in ("aa", "ra"):
+        contrib = "1.0 / ln(user_deg)" if metric == "aa" else "1.0 / user_deg"
+        return f"""
+            WITH {base}
+            SELECT item_a, item_b, sum({contrib}) AS sim
+            FROM pairs JOIN user_deg USING ("user")
+            GROUP BY item_a, item_b
+            HAVING count(*) >= {min_common}
+        """
+    expr = {
+        "jaccard": "c / (na + nb - c)",
+        "cosine": "c / sqrt(na * nb)",
+    }[metric]
+    return f"""
+        WITH {base},
+        co AS (
+            SELECT item_a, item_b, count(*) AS c FROM pairs
+            GROUP BY item_a, item_b HAVING count(*) >= {min_common}
+        )
+        SELECT item_a, item_b,
+               CAST({expr} AS DOUBLE) AS sim
+        FROM co
+        JOIN (SELECT item AS item_a, CAST(n AS DOUBLE) AS na FROM item_deg) USING (item_a)
+        JOIN (SELECT item AS item_b, CAST(n AS DOUBLE) AS nb FROM item_deg) USING (item_b)
+    """
+
+
+def itemsim2rating(
+    ratings: DataFrame,
+    sims: DataFrame,
+    k: int = 10,
+    exclude_seen: bool = True,
+) -> DataFrame:
+    """M11: score(u, j) = Σ_{i∈history(u)} sim(i, j); top-K per user.
+
+    ``sims`` is the symmetric (item_a < item_b, sim) table; both directions
+    are expanded here. Seen items are excluded via left-anti join
+    (reference flag ``--remove_seen``). Returns (user, item, score, rank).
+    """
+    both = sims.select("item_a", "item_b", "sim").unionByName(
+        sims.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "sim",
+        )
+    )
+    hist = ratings.select("user", "item").distinct()
+    scores = (
+        hist.join(both, hist.item == both.item_a)
+        .groupBy("user", F.col("item_b").alias("item"))
+        .agg(F.sum("sim").alias("score"))
+    )
+    if exclude_seen:
+        scores = scores.join(hist, ["user", "item"], "left_anti")
+    return top_k_per_key(scores, "user", "score", k, tiebreak_col="item")

@@ -1,0 +1,124 @@
+"""CF toolkit: item-CF, baselines, eval, ALS."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchi_cpp_spark.cf.als import als, predict, recommend_top_k
+from graphchi_cpp_spark.cf.baselines import (
+    baseline_predict,
+    baseline_predict_sql,
+    baseline_rmse,
+)
+from graphchi_cpp_spark.cf.eval import (
+    ap_at_k_sql,
+    average_precision_at_k,
+    mean_average_precision,
+)
+from graphchi_cpp_spark.cf.itemcf import (
+    item_similarity,
+    item_similarity_sql,
+    itemsim2rating,
+)
+from graphchi_cpp_spark.datasets import RATINGS_SQL, ratings
+from tests.conftest import assert_df_matches_oracle
+
+
+def _tiny_ratings(spark):
+    # users 0,1 both rated items 10,11; user 2 rated 10 only
+    rows = [
+        (0, 10, 5.0),
+        (0, 11, 3.0),
+        (1, 10, 4.0),
+        (1, 11, 2.0),
+        (2, 10, 1.0),
+    ]
+    return spark.createDataFrame(rows, ["user", "item", "rating"])
+
+
+def test_itemcf_jaccard_tiny(spark):
+    r = _tiny_ratings(spark)
+    sims = {
+        (x["item_a"], x["item_b"]): x["sim"]
+        for x in item_similarity(r, "jaccard").collect()
+    }
+    # |A∩B|=2 (users 0,1), |A|=3, |B|=2 → 2/(3+2-2)=2/3
+    assert sims[(10, 11)] == pytest.approx(2 / 3)
+
+
+def test_itemcf_vs_duckdb(spark, sf_dir, duck):
+    r = ratings(spark, sf_dir)
+    for metric in ("jaccard", "cosine", "aa", "ra"):
+        result = item_similarity(r, metric, min_common=2).select(
+            "item_a", "item_b", F.round("sim", 6).alias("sim")
+        )
+        sql = f"""
+            SELECT item_a, item_b, round(sim, 6) AS sim
+            FROM ({item_similarity_sql(RATINGS_SQL, metric, min_common=2)})
+        """
+        assert_df_matches_oracle(result, duck, sql, float_ndigits=5)
+
+
+def test_itemsim2rating_tiny(spark):
+    r = _tiny_ratings(spark)
+    sims = item_similarity(r, "jaccard")
+    recs = itemsim2rating(r, sims, k=5)
+    out = {(x["user"], x["item"]): x["score"] for x in recs.collect()}
+    # user 2 has only item 10; item 11 similar (2/3) and unseen
+    assert out[(2, 11)] == pytest.approx(2 / 3)
+    # users 0,1 have rated everything → no recs
+    assert all(u == 2 for (u, _) in out)
+
+
+def test_baselines_vs_duckdb(spark, sf_dir, duck):
+    r = ratings(spark, sf_dir)
+    for method in ("global_mean", "user_mean", "item_mean", "bias"):
+        result = baseline_predict(r, method).select(
+            "user", "item", F.round("rating", 4).alias("rating"),
+            F.round("prediction", 4).alias("prediction"),
+        )
+        sql = f"""
+            SELECT "user", item, round(rating, 4) AS rating,
+                   round(prediction, 4) AS prediction
+            FROM ({baseline_predict_sql(RATINGS_SQL, method)})
+        """
+        assert_df_matches_oracle(result, duck, sql, float_ndigits=3)
+
+
+def test_baseline_rmse_ordering(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    rmse_global = baseline_rmse(r, "global_mean").collect()[0]["rmse"]
+    rmse_bias = baseline_rmse(r, "bias").collect()[0]["rmse"]
+    assert rmse_bias <= rmse_global
+
+
+def test_ap_at_k(spark):
+    recs = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2), (0, 102, 3), (1, 100, 1)],
+        ["user", "item", "rank"],
+    )
+    truth = spark.createDataFrame([(0, 100), (0, 102), (1, 999)], ["user", "item"])
+    ap = {r["user"]: r["ap"] for r in average_precision_at_k(recs, truth, 3).collect()}
+    # user0: rel=1@1 (prec 1), rel=0@2, rel=1@3 (prec 2/3); /min(3,2)=2 → (1+2/3)/2
+    assert ap[0] == pytest.approx((1 + 2 / 3) / 2)
+    assert ap[1] == 0.0
+    m = mean_average_precision(recs, truth, 3).collect()[0]["map"]
+    assert m == pytest.approx((ap[0] + 0.0) / 2)
+
+
+def test_als_converges_and_deterministic(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    uf1, if1, hist1 = als(r, d=5, iterations=3)
+    rmses = [h["train_rmse"] for h in hist1]
+    assert rmses[-1] < rmses[0]  # converging
+    assert rmses[-1] < 1.2  # actually fits ratings in [1,5]
+    uf2, _, hist2 = als(r, d=5, iterations=3)
+    assert rmses == [h["train_rmse"] for h in hist2]  # deterministic
+
+
+def test_als_recommend(spark):
+    r = _tiny_ratings(spark)
+    uf, itf, _ = als(r, d=2, iterations=3)
+    recs = recommend_top_k(uf, itf, seen=r, k=2)
+    out = [(x["user"], x["item"]) for x in recs.collect()]
+    assert (2, 11) in out  # only unseen pair
+    assert len(out) == 1
