@@ -335,10 +335,98 @@ def _register_cf():
         )
 
 
+def _register_pipeline_ops():
+    from graphchi_cpp_spark.operators.dedup import (
+        embedding_near_dups,
+        exact_duplicates,
+        exact_duplicates_sql,
+        lsh_candidates,
+        lsh_candidates_sql,
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_sql,
+        simhash,
+        simhash_sql,
+    )
+    from graphchi_cpp_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_sql,
+        embedding_near_dups_sql,
+        lsh_cosine_topk,
+        lsh_cosine_topk_sql,
+    )
+    from graphchi_cpp_spark.operators.text import (
+        fingerprints,
+        fingerprints_sql,
+        language_id,
+        language_id_sql,
+        quality_scores,
+        quality_scores_sql,
+        token_stats,
+        token_stats_sql,
+    )
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    @query("token_stats", token_stats_sql())
+    def q_token_stats(spark, sf_dir):
+        return token_stats(_docs(spark, sf_dir))
+
+    @query("quality_scores", quality_scores_sql())
+    def q_quality(spark, sf_dir):
+        return quality_scores(_docs(spark, sf_dir))
+
+    @query("language_id", language_id_sql())
+    def q_langid(spark, sf_dir):
+        return language_id(_docs(spark, sf_dir))
+
+    @query("doc_fingerprints", fingerprints_sql())
+    def q_fp(spark, sf_dir):
+        return fingerprints(_docs(spark, sf_dir))
+
+    @query("exact_dedup", exact_duplicates_sql())
+    def q_exact_dedup(spark, sf_dir):
+        return exact_duplicates(_docs(spark, sf_dir))
+
+    @query("minhash_lsh_candidates", lsh_candidates_sql())
+    def q_lsh_cand(spark, sf_dir):
+        return lsh_candidates(_docs(spark, sf_dir))
+
+    @query("minhash_dedup", minhash_dedup_pairs_sql(threshold=0.3))
+    def q_minhash_dedup(spark, sf_dir):
+        return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+    @query("simhash", simhash_sql())
+    def q_simhash(spark, sf_dir):
+        return simhash(_docs(spark, sf_dir))
+
+    @query("embedding_near_dups", embedding_near_dups_sql(0.45))
+    def q_emb_near_dups(spark, sf_dir):
+        return embedding_near_dups(_emb(spark, sf_dir), threshold=0.45)
+
+    @query("ann_cosine_topk", cosine_topk_sql("vec_id % 20 = 0", k=5))
+    def q_ann_brute(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        return cosine_topk(emb, emb.filter(F.col("vec_id") % 20 == 0), k=5).select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long")
+        )
+
+    @query("ann_lsh_topk", lsh_cosine_topk_sql("vec_id % 20 = 0", k=5))
+    def q_ann_lsh(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        return lsh_cosine_topk(
+            emb, emb.filter(F.col("vec_id") % 20 == 0), k=5
+        ).select("query_id", "vec_id", "cosine", F.col("rank").cast("long"))
+
+
 _register_core()
 _register_ops()
 _register_graph_algos()
 _register_cf()
+_register_pipeline_ops()
 
 
 def entry(spark: SparkSession) -> DataFrame:

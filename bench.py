@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "itemcf_jaccard",
     "itemsim2rating",
     "als_rmse_history",
+    "minhash_dedup",
+    "simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
 ]
 
 

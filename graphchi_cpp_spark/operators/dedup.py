@@ -1,0 +1,361 @@
+"""Deduplication operators for training-data pipelines (north-star set).
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+All hash functions are the deterministic md5-derived cross-engine
+primitive from ``operators.text`` — Spark and DuckDB produce identical
+signatures, so even the LSH candidate sets are oracle-comparable.
+
+Scale design (the point of these at 100 TB):
+- shingling is a per-row projection (no shuffle);
+- minhash signatures: explode(shingles × K hash params) → groupBy(doc,
+  hash_id).min — partial aggregation bounds the shuffle to docs×K rows;
+- LSH banding: one groupBy(band_key) — only docs sharing a band collide,
+  so the candidate join is output-bounded, never all-pairs;
+- exact Jaccard verification runs ONLY on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphchi_cpp_spark.operators.text import (
+    HASH_PRIME,
+    md5_long,
+    md5_long_sql,
+    tokens,
+)
+
+# deterministic affine hash params for minhash permutations
+def _hash_params(k: int) -> list[tuple[int, int, int]]:
+    """(i, a, b) for h_i(x) = (a*x + b) mod HASH_PRIME, a odd, fixed."""
+    return [(i, 2 * i + 1 + 104729, (i * 12289 + 514229) % HASH_PRIME) for i in range(k)]
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, group_size) — canonical = min doc_id with
+    identical text (md5 groupBy; collision-safe enough at any scale when
+    extended to 128 bits — we group on the full md5 hex)."""
+    h = docs.select("doc_id", F.md5(F.col(text_col)).alias("h"))
+    groups = h.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        h.join(groups, "h")
+        .select("doc_id", "canonical_id", F.col("group_size").cast("long"))
+    )
+
+
+def exact_duplicates_sql(docs_sql: str = "documents") -> str:
+    return f"""
+        WITH h AS (SELECT doc_id, md5(text) AS h FROM {docs_sql}),
+        g AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS group_size
+              FROM h GROUP BY h)
+        SELECT doc_id, canonical_id, group_size::BIGINT AS group_size
+        FROM h JOIN g USING (h)
+    """
+
+
+# --------------------------------------------------------------------- #
+# shingles + minhash signatures
+# --------------------------------------------------------------------- #
+def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sh) — distinct md5-int hashes of word n-gram shingles."""
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.pmod(md5_long(F.col("g")), F.lit(HASH_PRIME)).alias("sh"))
+        .distinct()
+    )
+
+
+def shingle_hashes_sql(docs_sql: str = "documents", n: int = 3) -> str:
+    return f"""
+        SELECT DISTINCT doc_id,
+               {md5_long_sql('g')} % {HASH_PRIME} AS sh
+        FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(string_split(text,' ')) - {n - 1}, 1) + 1),
+                i -> array_to_string(string_split(text,' ')[i : i + {n - 1}], ' ')
+            )) AS g
+            FROM {docs_sql}
+        )
+    """
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, hash_id, mh) — minhash_i = min over shingles of
+    (a_i·sh + b_i) mod p."""
+    sh = shingle_hashes(docs, text_col, n)
+    params = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, a, b in _hash_params(num_hashes)
+        ]
+    )
+    return (
+        sh.select("doc_id", "sh", F.explode(params).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("hash_id"),
+            F.pmod(F.col("p.a") * F.col("sh") + F.col("p.b"), F.lit(HASH_PRIME)).alias(
+                "v"
+            ),
+        )
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("v").alias("mh"))
+    )
+
+
+def minhash_signatures_sql(
+    docs_sql: str = "documents", n: int = 3, num_hashes: int = 32
+) -> str:
+    params_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _hash_params(num_hashes))
+    return f"""
+        WITH sh AS ({shingle_hashes_sql(docs_sql, n)}),
+        params(hash_id, a, b) AS (VALUES {params_rows})
+        SELECT doc_id, hash_id,
+               min((a * sh + b) % {HASH_PRIME}) AS mh
+        FROM sh CROSS JOIN params
+        GROUP BY doc_id, hash_id
+    """
+
+
+# --------------------------------------------------------------------- #
+# LSH banding → candidate pairs
+# --------------------------------------------------------------------- #
+def lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs: docs agreeing on all
+    rows of at least one band. 8×4 ≈ catches Jaccard ≳ 0.5."""
+    sig = minhash_signatures(docs, text_col, n, bands * rows_per_band)
+    banded = (
+        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hash_id", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def lsh_candidates_sql(
+    docs_sql: str = "documents", n: int = 3, bands: int = 8, rows_per_band: int = 4
+) -> str:
+    return f"""
+        WITH sig AS ({minhash_signatures_sql(docs_sql, n, bands * rows_per_band)}),
+        banded AS (
+            SELECT doc_id, hash_id // {rows_per_band} AS band,
+                   string_agg(mh::VARCHAR, ',' ORDER BY hash_id) AS band_key
+            FROM sig GROUP BY doc_id, hash_id // {rows_per_band}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+    """
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard (verification of candidates, or exact pairwise)
+# --------------------------------------------------------------------- #
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for the given candidate pairs."""
+    sh = shingle_hashes(docs, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                / (F.col("sa") + F.col("sb") - F.coalesce(F.col("c"), F.lit(0)))
+            ).cast("double").alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs_sql(
+    docs_sql: str = "documents",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """Candidates verified by exact shingle Jaccard >= threshold."""
+    return f"""
+        WITH cand AS ({lsh_candidates_sql(docs_sql, n, bands, rows_per_band)}),
+        sh AS ({shingle_hashes_sql(docs_sql, n)}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS c
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(coalesce(i.c, 0) * 1.0 /
+                     (sa.sz + sb.sz - coalesce(i.c, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE coalesce(i.c, 0) * 1.0 / (sa.sz + sb.sz - coalesce(i.c, 0))
+              >= {threshold}
+    """
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full MinHash pipeline: LSH candidates verified by exact
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    cand = lsh_candidates(docs, text_col, n, bands, rows_per_band)
+    j = ngram_jaccard(docs, cand, text_col, n)
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — classic Charikar simhash over word unigrams:
+    bit_j = sign of Σ_tokens (±1 depending on bit j of token hash).
+
+    Implemented as ONE groupBy with ``bits`` aggregate columns (exact
+    integer bit ops, no row blowup): the shuffle carries docs×bits ints
+    via partial aggregation.
+    """
+    toks = tokens(F.col(text_col))
+    th = docs.select("doc_id", F.explode(toks).alias("t")).select(
+        "doc_id", md5_long(F.col("t")).alias("h")
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"ss{j}")
+        for j in range(bits)
+    ]
+    bitsums = th.groupBy("doc_id").agg(*sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"ss{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bitsums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(docs_sql: str = "documents", bits: int = 32) -> str:
+    sums = ",\n".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS ss{j}"
+        for j in range(bits)
+    )
+    total = " + ".join(
+        f"CASE WHEN ss{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+        WITH th AS (
+            SELECT doc_id, {md5_long_sql('t')} AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM {docs_sql})
+        ),
+        bitsums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+        SELECT doc_id, ({total})::BIGINT AS simhash FROM bitsums
+    """
+
+
+# --------------------------------------------------------------------- #
+# embedding-cosine near-duplicates
+# --------------------------------------------------------------------- #
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
+
+    Brute-force all-pairs (the baseline path); for web scale switch to
+    LSH bucketing first (operators.similarity.lsh_cosine_candidates) and
+    verify only bucket collisions with the same expression.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = v.select("id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a = norm.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = norm.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

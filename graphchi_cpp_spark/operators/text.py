@@ -1,0 +1,219 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north-star): language ID,
+quality scoring, token counting, document fingerprinting over the
+``documents`` table. The reference's text-adjacent code (tokenizers in
+``toolkits/parsers/texttokens.cpp``, word counting ``toolkits/parsers/
+mi.cpp:1-30``) maps to the same split+explode+groupBy substrate.
+
+Every operator is a deterministic pure expression, evaluated JVM-side
+(no Python UDFs), and each has a DuckDB-equivalent SQL builder so the
+correctness gate can hash-compare. Shared hash primitive:
+``h(s) = bigint(first 15 hex chars of md5(s))`` — identical in Spark
+(``conv(substr(md5(s),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,15))::BIGINT``).
+
+Scale: all per-row projections → embarrassingly parallel, no shuffles;
+column pruning pushes the single ``text`` column read down to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HASH_PRIME = 2147483647  # 2^31 - 1, Mersenne — keeps a*h+b inside int64
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit integer hash from md5 — the cross-engine primitive."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+# --------------------------------------------------------------------- #
+# token counting
+# --------------------------------------------------------------------- #
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_re_tokens, n_chars_measured) —
+    whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
+    single punctuation, the pre-tokenizer shape of GPT-style BPE)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(t)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long").alias(
+            "n_re_tokens"
+        ),
+        F.length(t).cast("long").alias("n_chars_measured"),
+    )
+
+
+def token_stats_sql(docs_sql: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
+                   AS n_re_tokens,
+               length(text)::BIGINT AS n_chars_measured
+        FROM {docs_sql}
+    """
+
+
+# --------------------------------------------------------------------- #
+# quality scoring
+# --------------------------------------------------------------------- #
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, mean_word_len, stopword_ratio, alpha_ratio,
+    quality) — heuristic quality in [0,1]: long-enough docs with natural
+    stopword density and mostly-alphabetic characters score high
+    (C4/CCNet-style hand rules, deterministic arithmetic only)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    mean_wl = F.try_divide(F.length(F.regexp_replace(t, " ", "")), n)
+    stop_ratio = F.try_divide(n_stop, n)
+    alpha_ratio = F.try_divide(alpha, F.length(t))
+    quality = F.least(
+        F.lit(1.0),
+        (
+            F.least(n / F.lit(50.0), F.lit(1.0)) * 0.4
+            + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+            + alpha_ratio * 0.3
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def quality_scores_sql(docs_sql: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        SELECT doc_id,
+               n::BIGINT AS n_tokens,
+               round(nospace_len * 1.0 / nullif(n, 0), 4) AS mean_word_len,
+               round(n_stop * 1.0 / nullif(n, 0), 4) AS stopword_ratio,
+               round(alpha * 1.0 / nullif(length(text), 0), 4) AS alpha_ratio,
+               round(least(1.0,
+                     least(n / 50.0, 1.0) * 0.4
+                   + least((n_stop * 1.0 / nullif(n, 0)) * 5.0, 1.0) * 0.3
+                   + (alpha * 1.0 / nullif(length(text), 0)) * 0.3), 4) AS quality
+        FROM (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n,
+                   len(list_filter(string_split(text, ' '),
+                       x -> list_contains([{stop_list}], x))) AS n_stop,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                   length(replace(text, ' ', '')) AS nospace_len
+            FROM {docs_sql}
+        )
+    """
+
+
+# --------------------------------------------------------------------- #
+# language identification (n-gram / marker-word heuristic)
+# --------------------------------------------------------------------- #
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "que", "es"),
+    "fr": ("le", "la", "et", "est"),
+    "zh": ("de", "shi", "le", "zai"),
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score) — argmax of marker-token counts,
+    alphabetical tiebreak, 'und' (undetermined) when no marker hits."""
+    toks = tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        cnt = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        scores.append(F.struct(cnt.alias("c"), F.lit(lang).alias("l")))
+    # argmax: highest count wins, alphabetically-first lang on ties
+    structs = F.array(*scores)
+    best_count = F.array_max(F.transform(structs, lambda s: s["c"]))
+    pred = F.array_min(
+        F.filter(structs, lambda s: s["c"] == best_count)
+    )["l"]
+    return docs.select(
+        "doc_id",
+        F.when(best_count > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        best_count.cast("long").alias("lang_score"),
+    )
+
+
+def language_id_sql(docs_sql: str = "documents") -> str:
+    cases = []
+    for lang in sorted(LANG_MARKERS):
+        marker_list = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        cases.append(
+            f"len(list_filter(string_split(text, ' '), "
+            f"x -> list_contains([{marker_list}], x))) AS c_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS pred_lang,
+               best::BIGINT AS lang_score
+        FROM (
+            SELECT doc_id, text, {best} AS best, *
+            FROM (SELECT doc_id, text, {', '.join(cases)} FROM {docs_sql})
+        )
+    """
+
+
+# --------------------------------------------------------------------- #
+# document fingerprinting (rolling-hash / winnowing-style)
+# --------------------------------------------------------------------- #
+def fingerprints(docs: DataFrame, text_col: str = "text", w: int = 5) -> DataFrame:
+    """(doc_id, fingerprint) — min hash over word w-grams (the winnowing
+    'select minimum of window' idea collapsed to one global min; documents
+    sharing the fingerprint almost surely share a w-gram)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(grams, lambda g: md5_long(g))).alias("fingerprint"),
+    )
+
+
+def fingerprints_sql(docs_sql: str = "documents", w: int = 5) -> str:
+    return f"""
+        SELECT doc_id,
+               list_min(list_transform(
+                   list_transform(
+                       range(1, greatest(len(string_split(text,' ')) - {w - 1}, 1) + 1),
+                       i -> array_to_string(string_split(text,' ')[i : i + {w - 1}], ' ')
+                   ),
+                   g -> {md5_long_sql('g')}
+               )) AS fingerprint
+        FROM {docs_sql}
+    """

@@ -1,0 +1,190 @@
+"""Training-data-pipeline operators: text, dedup, similarity, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchi_cpp_spark.operators.dedup import (
+    exact_duplicates,
+    exact_duplicates_sql,
+    lsh_candidates,
+    lsh_candidates_sql,
+    minhash_dedup_pairs,
+    minhash_dedup_pairs_sql,
+    minhash_signatures,
+    minhash_signatures_sql,
+    ngram_jaccard,
+    simhash,
+    simhash_sql,
+)
+from graphchi_cpp_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    media_stats,
+    synthetic_media,
+)
+from graphchi_cpp_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_sql,
+    lsh_cosine_topk,
+)
+from graphchi_cpp_spark.operators.text import (
+    fingerprints,
+    fingerprints_sql,
+    language_id,
+    language_id_sql,
+    md5_long,
+    quality_scores,
+    quality_scores_sql,
+    token_stats,
+    token_stats_sql,
+)
+from tests.conftest import assert_df_matches_oracle
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_md5_long_cross_engine(spark, duck):
+    sdf = spark.createDataFrame([("abc",), ("hello world",)], ["s"]).select(
+        "s", md5_long(F.col("s")).alias("h")
+    )
+    got = {r["s"]: r["h"] for r in sdf.collect()}
+    for s, h in got.items():
+        dh = duck.execute(
+            f"SELECT ('0x' || substr(md5('{s}'), 1, 15))::BIGINT"
+        ).fetchone()[0]
+        assert h == dh, s
+
+
+def test_token_stats_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        token_stats(_docs(spark, sf_dir)), duck, token_stats_sql()
+    )
+
+
+def test_quality_scores_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        quality_scores(_docs(spark, sf_dir)), duck, quality_scores_sql(),
+        float_ndigits=3,
+    )
+
+
+def test_language_id_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        language_id(_docs(spark, sf_dir)), duck, language_id_sql()
+    )
+
+
+def test_fingerprints_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        fingerprints(_docs(spark, sf_dir)), duck, fingerprints_sql()
+    )
+
+
+def test_exact_duplicates(spark, sf_dir, duck):
+    docs = _docs(spark, sf_dir)
+    assert_df_matches_oracle(exact_duplicates(docs), duck, exact_duplicates_sql())
+    # planted duplicate is found
+    dup = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["group_size"]) for r in
+           exact_duplicates(dup).collect()}
+    assert out == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
+
+
+def test_minhash_signatures_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        minhash_signatures(_docs(spark, sf_dir), num_hashes=8),
+        duck,
+        minhash_signatures_sql(num_hashes=8),
+    )
+
+
+def test_lsh_candidates_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        lsh_candidates(_docs(spark, sf_dir)), duck, lsh_candidates_sql()
+    )
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "completely different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+    # jaccard sanity vs exact
+    j = ngram_jaccard(
+        docs, spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    ).collect()[0]["jaccard"]
+    assert 0.3 < j < 1.0
+
+
+def test_simhash_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(simhash(_docs(spark, sf_dir)), duck, simhash_sql())
+
+
+def test_simhash_near_dup_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tonight")),
+         (3, "zzz yyy xxx www vvv uuu")],
+        ["doc_id", "text"],
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+def test_cosine_topk_vs_duckdb(spark, sf_dir, duck):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    result = cosine_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long")
+    )
+    assert_df_matches_oracle(
+        result, duck, cosine_topk_sql("vec_id % 20 = 0", k=5), float_ndigits=5
+    )
+
+
+def test_lsh_cosine_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_cosine_topk(emb, queries, k=5, num_planes=4, num_bands=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5  # 8 bands x 4 planes OR-amplification
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == pytest.approx(r["feature"])
+    fs = frame_sample(media, every_ms=500)
+    assert fs.filter(F.col("frame_ts_ms") % 500 != 0).count() == 0
+    stats = media_stats(media).collect()
+    assert {r["kind"] for r in stats} == {"image", "audio", "video"}
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    from graphchi_cpp_spark.operators.multimodal import MEDIA_SCHEMA
+
+    bad = spark.createDataFrame(
+        [(1, "hologram", b"xx", 0, 0, 0)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        extract_features(bad).collect()
