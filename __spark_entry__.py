@@ -422,11 +422,130 @@ def _register_pipeline_ops():
         ).select("query_id", "vec_id", "cosine", F.col("rank").cast("long"))
 
 
+def _register_advanced_algos():
+    from graphchi_cpp_spark.algos.msf import minimum_spanning_forest
+    from graphchi_cpp_spark.algos.random_walks import random_walks, random_walks_sql
+    from graphchi_cpp_spark.algos.scc import scc_sql, strongly_connected_components
+    from graphchi_cpp_spark.datasets import ORDERFLOW_EDGES_SQL, orderflow_edges
+    from graphchi_cpp_spark.graph import PropertyGraph
+
+    def _orderflow(spark, sf_dir):
+        return PropertyGraph.from_edges(orderflow_edges(spark, sf_dir))
+
+    @query("scc", scc_sql(ORDERFLOW_EDGES_SQL))
+    def q_scc(spark, sf_dir):
+        return strongly_connected_components(_orderflow(spark, sf_dir))
+
+    @query("msf")  # iterative contraction — rows-only check (tests verify
+    # the forest against a Kruskal reference implementation)
+    def q_msf(spark, sf_dir):
+        g = _orderflow(spark, sf_dir)
+        e = g.edges.select(
+            "src",
+            "dst",
+            (F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(97)) + 1)
+            .cast("double")
+            .alias("weight"),
+        )
+        return minimum_spanning_forest(PropertyGraph(e))
+
+    _WALK_SOURCES_SQL = (
+        f"SELECT id FROM (SELECT src AS id FROM ({ORDERFLOW_EDGES_SQL}) "
+        f"UNION SELECT dst FROM ({ORDERFLOW_EDGES_SQL})) WHERE id % 100 = 0"
+    )
+
+    @query(
+        "random_walks",
+        random_walks_sql(
+            ORDERFLOW_EDGES_SQL, _WALK_SOURCES_SQL, walks_per_source=5, steps=4
+        ),
+    )
+    def q_walks(spark, sf_dir):
+        g = _orderflow(spark, sf_dir)
+        sources = g.vertices.filter(F.col("id") % 100 == 0)
+        return random_walks(g, sources, walks_per_source=5, steps=4)
+
+
+def _register_parsers_streaming():
+    from graphchi_cpp_spark.datasets import (
+        BIPARTITE_EDGES_SQL,
+        ORDERFLOW_EDGES_SQL,
+        bipartite_edges,
+        load_table,
+        orderflow_edges,
+    )
+    from graphchi_cpp_spark.graph import PropertyGraph
+    from graphchi_cpp_spark.operators.aggregates import (
+        aggregate_per_key,
+        value_counts,
+    )
+    from graphchi_cpp_spark.sources.readers import densify_ids
+
+    @query(
+        "aggregator_per_key",
+        """
+        SELECT user_id, event_type, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+        """,
+    )
+    def q_aggregator(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        return aggregate_per_key(ev, ["user_id", "event_type"], "value").select(
+            "user_id", "event_type", F.round("sum_value", 4).alias("sum_value")
+        )
+
+    @query(
+        "value_counts",
+        """
+        SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+        """,
+    )
+    def q_value_counts(spark, sf_dir):
+        return value_counts(load_table(spark, sf_dir, "events"), "event_type")
+
+    @query(
+        "densify_ids",
+        f"""
+        WITH verts AS (
+            SELECT src AS orig FROM ({BIPARTITE_EDGES_SQL})
+            UNION SELECT dst FROM ({BIPARTITE_EDGES_SQL})
+        )
+        SELECT orig, row_number() OVER (ORDER BY orig) - 1 AS dense_id
+        FROM verts
+        """,
+    )
+    def q_densify(spark, sf_dir):
+        _, mapping = densify_ids(bipartite_edges(spark, sf_dir))
+        return mapping.select("orig", "dense_id")
+
+    @query("streaming_pagerank")  # evolving-graph trace — rows-only check
+    def q_streaming_pagerank(spark, sf_dir):
+        from graphchi_cpp_spark.streaming.ingest import (
+            DynamicGraph,
+            run_streaming_pagerank,
+        )
+
+        e = orderflow_edges(spark, sf_dir)
+        base = e.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == 0)
+        batches = [
+            e.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == i).withColumn(
+                "op", F.lit("add")
+            )
+            for i in (1, 2, 3)
+        ]
+        dg = DynamicGraph(base)
+        ranks = run_streaming_pagerank(dg, batches, supersteps_per_batch=3)
+        return ranks.select("id", F.round("rank", 4).alias("rank"))
+
+
 _register_core()
 _register_ops()
 _register_graph_algos()
 _register_cf()
 _register_pipeline_ops()
+_register_advanced_algos()
+_register_parsers_streaming()
 
 
 def entry(spark: SparkSession) -> DataFrame:

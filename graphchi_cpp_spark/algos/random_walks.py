@@ -1,0 +1,136 @@
+"""Random walks (G11) — parallel personalized walks with visit counts.
+
+Reference: ``example_apps/randomwalks.cpp:70-110`` — launches 100 walks
+from every 50th vertex; walk ids ride in per-edge chivectors; each step
+every walk moves to a random out-neighbor; output = visit counts.
+
+Spark-first: the walk state is a DataFrame (walk_id, cur) — NOT per-edge
+dynamic vectors (SURVEY §7 'what is hard': explode-based walk table
+instead of chivector columns). One step =
+    walks ⋈ out-edges on cur → per walk pick one neighbor
+The random pick is a deterministic hash of (walk_id, step, dst): the
+minimum-hash neighbor wins — reproducible across runs/engines (the
+reference uses process RNG; determinism is our strengthened contract).
+Walks at sinks (no out-edges) halt in place, matching the reference's
+behavior of dying walks.
+
+Scale: each step is one join + min_by groupBy, shuffle bounded by
+#walks; visit counts accumulate via unionByName of per-step positions
+(cheap: k small) then one groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphchi_cpp_spark.graph import PropertyGraph
+from graphchi_cpp_spark.operators.text import HASH_PRIME, md5_long
+
+
+def random_walks(
+    graph: PropertyGraph,
+    sources: DataFrame,
+    walks_per_source: int = 10,
+    steps: int = 5,
+) -> DataFrame:
+    """(vertex, visits) — visit counts over all walk positions after each
+    of ``steps`` steps (initial positions excluded, matching the
+    reference's update-time counting)."""
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    walks = (
+        sources.select(F.col("id").alias("cur"))
+        .crossJoin(
+            F.broadcast(
+                sources.sparkSession.range(walks_per_source).select(
+                    F.col("id").alias("w")
+                )
+            )
+        )
+        .select(
+            (F.col("cur") * walks_per_source + F.col("w")).alias("walk_id"), "cur"
+        )
+        .localCheckpoint(eager=True)
+    )
+    visit_parts: list[DataFrame] = []
+    for step in range(steps):
+        stepped = (
+            walks.join(edges.withColumnRenamed("src", "cur"), "cur")
+            .select(
+                "walk_id",
+                "cur",
+                "dst",
+                F.pmod(
+                    md5_long(
+                        F.concat_ws(
+                            ":",
+                            F.col("walk_id"),
+                            F.lit(step),
+                            F.col("dst"),
+                        )
+                    ),
+                    F.lit(HASH_PRIME),
+                ).alias("r"),
+            )
+            .groupBy("walk_id")
+            .agg(F.min_by("dst", F.struct("r", "dst")).alias("nxt"))
+        )
+        walks = (
+            walks.join(stepped, "walk_id", "left")
+            .select("walk_id", F.coalesce("nxt", F.col("cur")).alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        visit_parts.append(walks.select("cur"))
+    visits = visit_parts[0]
+    for p in visit_parts[1:]:
+        visits = visits.unionByName(p)
+    return visits.groupBy(F.col("cur").alias("vertex")).agg(
+        F.count("*").cast("long").alias("visits")
+    )
+
+
+def random_walks_sql(
+    edges_sql: str,
+    sources_sql: str,
+    walks_per_source: int = 10,
+    steps: int = 5,
+) -> str:
+    """DuckDB oracle: the deterministic-hash walk unrolled step by step.
+    The per-step neighbor pick arg_min(dst, r*P + dst) equals Spark's
+    min_by(dst, struct(r, dst)) because r,dst < P."""
+    P = HASH_PRIME
+    ctes = [
+        f"edges AS ({edges_sql})",
+        f"""w0 AS (
+            SELECT id * {walks_per_source} + w.w AS walk_id, id AS cur
+            FROM ({sources_sql})
+            CROSS JOIN (SELECT unnest(range({walks_per_source})) AS w) w
+        )""",
+    ]
+    for i in range(1, steps + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""w{i} AS (
+              SELECT p.walk_id, coalesce(m.nxt, p.cur) AS cur
+              FROM {prev} p LEFT JOIN (
+                SELECT walk_id,
+                       arg_min(dst, r * {P}::BIGINT + dst) AS nxt
+                FROM (
+                  SELECT p2.walk_id, e.dst,
+                         ('0x' || substr(md5(concat_ws(':', p2.walk_id,
+                             {i - 1}, e.dst)), 1, 15))::BIGINT % {P} AS r
+                  FROM {prev} p2 JOIN edges e ON e.src = p2.cur
+                ) GROUP BY walk_id
+              ) m ON m.walk_id = p.walk_id
+            )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT cur FROM w{i}" for i in range(1, steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT cur AS vertex, count(*)::BIGINT AS visits
+        FROM ({unions}) GROUP BY cur
+        """
+    )

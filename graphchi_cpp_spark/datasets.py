@@ -33,6 +33,10 @@ SUPPLIER_OFFSET = 1_000_000
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects it unless
+    # nanos are read as long — set defensively (the driver's session may
+    # not have it), runtime-settable, no-op otherwise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -126,4 +130,36 @@ RATINGS_SQL = """
            1.0 + fmod(avg(l_quantity), 4.0) AS rating
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
+# order-flow digraph (cyclic — for SCC / random walks)
+# --------------------------------------------------------------------- #
+def orderflow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed customer→customer graph with cycles: each order sends an
+    edge from its customer to a price-derived pseudo-target customer.
+    Deterministic double arithmetic — identical in Spark and DuckDB."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    n = customer.count()  # driver-side scalar, deterministic
+    return (
+        orders.select(
+            F.col("o_custkey").alias("src"),
+            F.pmod(F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(n)).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+ORDERFLOW_EDGES_SQL = """
+    SELECT DISTINCT o_custkey AS src,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+               % (SELECT count(*) FROM customer) AS dst
+    FROM orders
+    WHERE o_custkey != CAST(round(o_totalprice * 100) AS BIGINT)
+                       % (SELECT count(*) FROM customer)
 """

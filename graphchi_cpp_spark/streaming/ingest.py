@@ -1,0 +1,152 @@
+"""Streaming / dynamic graph engine (X1-X4, C8-C9).
+
+Reference: ``src/engine/dynamic_graphs/graphchi_dynamicgraph_engine.hpp``
+— ``add_edge`` buffers edges in (dst-shard × src-shard) buffers (``:289-
+329``), buffered edges are visible to computation before durable commit
+(``incorporate_buffered_edges`` ``:340+``), shards are rewritten/compacted
+when buffers grow or >10-20% of edges are deleted (``commit_graph_changes``
+``:540-620``); deletions are tombstone edge values (``src/api/
+graph_objects.hpp:96-142``). ``example_apps/streaming_pagerank.cpp`` feeds
+edges from a thread while PageRank re-runs (``:231-298``), i.e. warm-
+started recomputation over base ∪ buffer.
+
+Spark-first mapping:
+- DynamicGraph: a base parquet table + an in-memory micro-batch buffer
+  (X2 visibility = base.unionByName(buffer) minus tombstones).
+- ingest_batch: append adds/deletes (op column: 'add'/'delete' —
+  tombstone analog).
+- compact(): rewrite base applying buffered adds/deletes when the buffer
+  or deleted fraction crosses the reference's thresholds (X3).
+- run_streaming_pagerank: foreachBatch-style loop — per batch, merge then
+  k supersteps warm-started from the previous ranks (X4).
+- With Structured Streaming, ``readStream ... foreachBatch(lambda df, id:
+  dg.ingest_batch(df))`` plugs the same object into a real stream;
+  backpressure = maxFilesPerTrigger (X1). The driver-testable path uses
+  explicit batch DataFrames (same code path foreachBatch would call).
+
+Scale: buffer stays small between compactions; compaction is one
+partitioned parquet rewrite (the reference's shard rewrite); PageRank
+warm start cuts supersteps per batch from ~30 to ~3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphchi_cpp_spark.graph import PropertyGraph
+
+
+class DynamicGraph:
+    """Mutable edge table = immutable base + add/delete buffer."""
+
+    def __init__(self, base_edges: DataFrame, base_path: str | None = None):
+        self.base = base_edges.select("src", "dst").localCheckpoint(eager=True)
+        self.base_path = base_path
+        self.buffer: DataFrame | None = None  # (src, dst, op)
+        self.base_count = self.base.count()
+
+    def ingest_batch(self, batch: DataFrame) -> None:
+        """X1/C9: append a micro-batch of (src, dst, op['add'|'delete'])."""
+        b = batch.select(
+            "src", "dst", F.coalesce(F.col("op"), F.lit("add")).alias("op")
+        )
+        self.buffer = (
+            b if self.buffer is None else self.buffer.unionByName(b)
+        ).localCheckpoint(eager=True)
+
+    def edges(self) -> DataFrame:
+        """X2: computation-visible edge set = base ∪ buffered adds,
+        minus buffered deletes (tombstone anti-join, C8)."""
+        e = self.base
+        if self.buffer is None:
+            return e
+        adds = self.buffer.filter(F.col("op") == "add").select("src", "dst")
+        dels = self.buffer.filter(F.col("op") == "delete").select("src", "dst")
+        return (
+            e.unionByName(adds)
+            .dropDuplicates(["src", "dst"])
+            .join(dels, ["src", "dst"], "left_anti")
+        )
+
+    def should_compact(
+        self, buffer_ratio: float = 0.2, deleted_ratio: float = 0.1
+    ) -> bool:
+        """X3 thresholds (reference: buffers big, or ~10-20% deleted)."""
+        if self.buffer is None:
+            return False
+        n_buf = self.buffer.count()
+        n_del = self.buffer.filter(F.col("op") == "delete").count()
+        base = max(self.base_count, 1)
+        return n_buf > buffer_ratio * base or n_del > deleted_ratio * base
+
+    def compact(self) -> None:
+        """X3: fold the buffer into a rewritten base (reference shard
+        rewrite; optionally persisted to parquet when base_path set)."""
+        merged = self.edges().localCheckpoint(eager=True)
+        if self.base_path is not None:
+            merged.write.mode("overwrite").parquet(self.base_path)
+            merged = merged.sparkSession.read.parquet(self.base_path)
+        self.base = merged.localCheckpoint(eager=True)
+        self.buffer = None
+        self.base_count = self.base.count()
+
+    def graph(self) -> PropertyGraph:
+        return PropertyGraph.from_edges(self.edges())
+
+
+def run_streaming_pagerank(
+    dg: DynamicGraph,
+    batches: list[DataFrame],
+    supersteps_per_batch: int = 3,
+    auto_compact: bool = True,
+) -> DataFrame:
+    """X4: per batch — merge, then ``supersteps_per_batch`` PageRank
+    supersteps warm-started from the previous ranks. Returns final
+    (id, rank). Matches batch PageRank at the same total superstep count
+    on the final graph ONLY in the limit; the streaming trace is the
+    reference's evolving-graph semantics."""
+    from graphchi_cpp_spark.algos.pagerank import DAMPING, RESET
+
+    ranks: DataFrame | None = None
+    for batch in batches:
+        dg.ingest_batch(batch)
+        if auto_compact and dg.should_compact():
+            dg.compact()
+        g = dg.graph()
+        edges = g.edges.localCheckpoint(eager=True)
+        out_deg = g.out_degrees()
+        v = g.vertices.select("id").join(out_deg, "id", "left").select(
+            "id", F.col("out_degree").cast("double").alias("outdeg")
+        )
+        if ranks is None:
+            v = v.withColumn("rank", F.lit(1.0))
+        else:  # warm start: carry previous ranks, new vertices start at 1
+            v = v.join(ranks, "id", "left").select(
+                "id", "outdeg", F.coalesce("rank", F.lit(1.0)).alias("rank")
+            )
+        v = v.localCheckpoint(eager=True)
+        for _ in range(supersteps_per_batch):
+            msgs = (
+                edges.join(
+                    v.select(
+                        F.col("id").alias("src"),
+                        F.try_divide(F.col("rank"), F.col("outdeg")).alias("m"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("m").alias("s"))
+            )
+            v = (
+                v.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    "outdeg",
+                    (F.lit(RESET) + F.lit(DAMPING) * F.coalesce("s", F.lit(0.0))).alias(
+                        "rank"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        ranks = v.select("id", "rank").localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,155 @@
+"""Sources (S1-S8, S11, S14) and streaming dynamic graph (X1-X4)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchi_cpp_spark.sources.matrix_market import (
+    kfold_split,
+    read_matrix_market,
+    write_matrix_market,
+)
+from graphchi_cpp_spark.sources.readers import (
+    densify_ids,
+    read_adjacency_list,
+    read_cassovary,
+    read_edge_list,
+    read_metis,
+    read_multi_value_edge_list,
+    relabel_by_degree,
+)
+from graphchi_cpp_spark.streaming.ingest import DynamicGraph, run_streaming_pagerank
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def _write(tmpdir, name, content):
+    p = os.path.join(tmpdir, name)
+    with open(p, "w") as f:
+        f.write(content)
+    return p
+
+
+def test_edge_list(spark, tmpdir):
+    p = _write(tmpdir, "e.txt", "# comment\n0 1\n1,2\n2\t0\n3 3\n% also comment\n")
+    e = read_edge_list(spark, p)
+    assert {(r["src"], r["dst"]) for r in e.collect()} == {(0, 1), (1, 2), (2, 0)}
+
+
+def test_edge_list_with_values(spark, tmpdir):
+    p = _write(tmpdir, "ev.txt", "0 1 0.5\n1 2 2.5\n")
+    e = read_edge_list(spark, p, has_value=True)
+    assert {(r["src"], r["dst"], r["weight"]) for r in e.collect()} == {
+        (0, 1, 0.5), (1, 2, 2.5)
+    }
+
+
+def test_multi_value_edge_list(spark, tmpdir):
+    p = _write(tmpdir, "mv.txt", "0 1 1.0:2.0:3.0\n")
+    e = read_multi_value_edge_list(spark, p)
+    r = e.collect()[0]
+    assert (r["src"], r["dst"], r["values"]) == (0, 1, [1.0, 2.0, 3.0])
+
+
+def test_adjacency_list(spark, tmpdir):
+    p = _write(tmpdir, "adj.txt", "0 2 1 2\n5 1 0\n")
+    e = read_adjacency_list(spark, p)
+    assert {(r["src"], r["dst"]) for r in e.collect()} == {(0, 1), (0, 2), (5, 0)}
+
+
+def test_metis(spark, tmpdir):
+    p = _write(tmpdir, "m.graph", "3 2\n2 3\n1\n1\n")
+    e = read_metis(spark, p)
+    assert {(r["src"], r["dst"]) for r in e.collect()} == {
+        (1, 2), (1, 3), (2, 1), (3, 1)
+    }
+
+
+def test_cassovary(spark, tmpdir):
+    p = _write(tmpdir, "c.txt", "0 2\n1\n2\n5 1\n0\n")
+    e = read_cassovary(spark, p)
+    assert {(r["src"], r["dst"]) for r in e.collect()} == {(0, 1), (0, 2), (5, 0)}
+
+
+def test_matrix_market_roundtrip(spark, tmpdir):
+    p = _write(
+        tmpdir,
+        "r.mm",
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% comment\n3 4 3\n1 1 5.0\n2 3 3.0\n3 4 1.0\n",
+    )
+    r = read_matrix_market(spark, p)
+    got = {(x["user"], x["item"], x["rating"]) for x in r.collect()}
+    assert got == {(0, 0, 5.0), (1, 2, 3.0), (2, 3, 1.0)}
+    out = os.path.join(tmpdir, "out_mm")
+    write_matrix_market(r, out)
+    back = read_matrix_market(spark, out)
+    assert {tuple(x) for x in back.collect()} == got
+
+
+def test_kfold_split(spark, sf_dir):
+    from graphchi_cpp_spark.datasets import ratings
+
+    r = ratings(spark, sf_dir)
+    total = r.count()
+    train = kfold_split(r, 5, 0, training=True)
+    val = kfold_split(r, 5, 0, training=False)
+    assert train.count() + val.count() == total
+    assert 0 < val.count() < total
+    assert train.join(val, ["user", "item"]).count() == 0
+
+
+def test_densify_ids(spark):
+    e = spark.createDataFrame([("x", "y"), ("y", "z")], ["src", "dst"])
+    out, mapping = densify_ids(e)
+    assert {(r["src"], r["dst"]) for r in out.collect()} == {(0, 1), (1, 2)}
+    assert mapping.count() == 3
+
+
+def test_relabel_by_degree(spark):
+    # star: center 9 (deg 3), leaves deg 1 → center gets the highest id
+    e = spark.createDataFrame([(9, 1), (9, 2), (9, 3)], ["src", "dst"])
+    out, mapping = relabel_by_degree(e)
+    m = {r["id"]: r["new_id"] for r in mapping.collect()}
+    assert m[9] == 3  # highest degree → last dense id
+
+
+def test_dynamic_graph_lifecycle(spark):
+    base = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    dg = DynamicGraph(base)
+    dg.ingest_batch(
+        spark.createDataFrame(
+            [(2, 0, "add"), (0, 1, "delete")], ["src", "dst", "op"]
+        )
+    )
+    vis = {(r["src"], r["dst"]) for r in dg.edges().collect()}
+    assert vis == {(1, 2), (2, 0)}  # add visible, tombstone applied
+    assert dg.should_compact()  # 2 buffered vs 2 base > 20%
+    dg.compact()
+    assert dg.buffer is None
+    assert {(r["src"], r["dst"]) for r in dg.base.collect()} == {(1, 2), (2, 0)}
+
+
+def test_streaming_pagerank_matches_batch_on_final_graph(spark):
+    from graphchi_cpp_spark.algos.pagerank import pagerank
+    from graphchi_cpp_spark.graph import PropertyGraph
+
+    base = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    batches = [
+        spark.createDataFrame([(2, 0, "add")], ["src", "dst", "op"]),
+        spark.createDataFrame([(2, 1, "add")], ["src", "dst", "op"]),
+    ]
+    dg = DynamicGraph(base)
+    streamed = run_streaming_pagerank(dg, batches, supersteps_per_batch=30)
+    final_edges = dg.edges()
+    batch_ranks = pagerank(PropertyGraph.from_edges(final_edges), max_iter=60)
+    s = {r["id"]: r["rank"] for r in streamed.collect()}
+    b = {r["id"]: r["rank"] for r in batch_ranks.collect()}
+    for k in b:
+        assert s[k] == pytest.approx(b[k], abs=1e-4)  # converged to same fixpoint
