@@ -539,6 +539,62 @@ def _register_parsers_streaming():
         return ranks.select("id", F.round("rank", 4).alias("rank"))
 
 
+def _register_ml_extras():
+    from graphchi_cpp_spark.algos.label_propagation import seeded_label_propagation
+    from graphchi_cpp_spark.cf.nmf import nmf
+    from graphchi_cpp_spark.cf.sgd import sgd
+    from graphchi_cpp_spark.cf.svd import lanczos_svd
+    from graphchi_cpp_spark.datasets import cosupply_edges, ratings
+    from graphchi_cpp_spark.graph import PropertyGraph
+
+    @query("svd_singular_values")  # Lanczos loop — rows-only check
+    def q_svd(spark, sf_dir):
+        s, _, _ = lanczos_svd(ratings(spark, sf_dir), k=3)
+        return spark.createDataFrame(
+            [(i, round(float(v), 4)) for i, v in enumerate(s)],
+            "rank int, sigma double",
+        )
+
+    @query("nmf_rmse_history")  # multiplicative-update loop — rows-only
+    def q_nmf(spark, sf_dir):
+        _, _, hist = nmf(ratings(spark, sf_dir), d=4, iterations=3)
+        return spark.createDataFrame(
+            [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
+            "iter int, train_rmse double",
+        )
+
+    @query("sgd_rmse_history")  # block-epoch SGD — rows-only
+    def q_sgd(spark, sf_dir):
+        _, _, hist = sgd(ratings(spark, sf_dir), d=4, iterations=3, gamma=0.02)
+        return spark.createDataFrame(
+            [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
+            "iter int, train_rmse double",
+        )
+
+    @query("biassgd_rmse_history")  # rows-only
+    def q_biassgd(spark, sf_dir):
+        _, _, hist = sgd(
+            ratings(spark, sf_dir), d=4, iterations=3, gamma=0.02, variant="biassgd"
+        )
+        return spark.createDataFrame(
+            [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
+            "iter int, train_rmse double",
+        )
+
+    @query("seeded_label_propagation")  # iterative vector prop — rows-only
+    def q_slp(spark, sf_dir):
+        g = PropertyGraph.from_edges(cosupply_edges(spark, sf_dir))
+        seeds = g.vertices.filter(F.col("id") % 20 == 0).select(
+            "id", F.pmod(F.col("id"), F.lit(3)).cast("int").alias("label")
+        )
+        out = seeded_label_propagation(g, seeds, num_labels=3, max_iter=5)
+        return out.select(
+            "id",
+            "label",
+            F.round(F.array_max("probs"), 4).alias("confidence"),
+        )
+
+
 _register_core()
 _register_ops()
 _register_graph_algos()
@@ -546,6 +602,7 @@ _register_cf()
 _register_pipeline_ops()
 _register_advanced_algos()
 _register_parsers_streaming()
+_register_ml_extras()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -41,10 +41,14 @@ def pagerank(
     """Returns (id, rank). Fixed-iteration when tol is None (matches the
     reference's ``niters`` mode); convergence-delta early stop (C3) when
     tol is given."""
-    edges = graph.edges.select("src", "dst")
-    out_deg = graph.out_degrees()
+    # materialize the (possibly derived) edge table ONCE — every superstep
+    # joins it; without this a view over e.g. orders⋈lineitem would be
+    # recomputed per iteration
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    g = PropertyGraph(edges)
+    out_deg = g.out_degrees()
     vertices = (
-        graph.vertices.select("id")
+        g.vertices.select("id")
         .join(out_deg, "id", "left")
         .select(
             "id", F.coalesce("out_degree", F.lit(0)).cast("double").alias("outdeg")

@@ -37,6 +37,7 @@ def _oriented_edges(graph: PropertyGraph, orient: str) -> DataFrame:
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)  # reused by degree calc + orientation
     )
     canon = und.filter(F.col("src") < F.col("dst"))
     if orient == "id":
@@ -56,12 +57,26 @@ def _oriented_edges(graph: PropertyGraph, orient: str) -> DataFrame:
     raise ValueError(f"unknown orient {orient!r}")
 
 
+BROADCAST_EDGE_LIMIT = 5_000_000
+
+
 def triangles(graph: PropertyGraph, orient: str = "id") -> DataFrame:
-    """All triangles as rows (a, b, c) with a<b<c in orientation order."""
-    e = _oriented_edges(graph, orient).cache()
+    """All triangles as rows (a, b, c) with a<b<c in orientation order.
+
+    Join strategy: checkpointed inputs lose size stats, so Catalyst would
+    pick sort-merge joins; when the oriented edge set fits comfortably in
+    memory we hint broadcast — the whole enumeration then runs as one
+    shuffle-free codegen stage (the relational analog of GraphChi's
+    pivot-batch in-memory adjacency, ``trianglecounting.cpp:91``). Above
+    the limit: shuffle joins on b / (a,c), AQE skew-splitting hubs.
+    """
+    e = _oriented_edges(graph, orient).localCheckpoint(eager=True)
+    small = e.count() <= BROADCAST_EDGE_LIMIT
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    if small:
+        e2, e3 = F.broadcast(e2), F.broadcast(e3)
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
 
 

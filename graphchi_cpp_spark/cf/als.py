@@ -52,6 +52,9 @@ def _init_factors(df: DataFrame, id_col: str, d: int) -> DataFrame:
     return df.select(F.col(id_col), F.array(*comps).alias("factors"))
 
 
+NUM_SOLVE_BLOCKS = 64
+
+
 def _solve_side(
     ratings: DataFrame,
     fixed: DataFrame,
@@ -61,7 +64,13 @@ def _solve_side(
     reg: float,
 ) -> DataFrame:
     """One ALS half-step: solve factors for ``group_col`` given ``fixed``
-    factors of ``other_col``."""
+    factors of ``other_col``.
+
+    Grouping by a hash BLOCK (not per-entity) batches thousands of tiny
+    D×D solves per Arrow transfer — per-group pandas overhead would
+    otherwise dominate (one IPC round-trip per user). Inside a block the
+    solves are a vectorized numpy loop.
+    """
     schema = StructType(
         [
             StructField(group_col, LongType()),
@@ -69,19 +78,27 @@ def _solve_side(
         ]
     )
 
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[group_col].iloc[0]
-        A = np.vstack(pdf["_f"].to_numpy())
-        b = pdf["rating"].to_numpy()
-        ata = A.T @ A + reg * len(b) * np.eye(d)  # reference scales λ by #obs
-        atb = A.T @ b
-        x = np.linalg.solve(ata, atb)
-        return pd.DataFrame({group_col: [key], "factors": [x.tolist()]})
+    def solve_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys, out = [], []
+        eye = reg * np.eye(d)
+        for key, grp in pdf.groupby(group_col, sort=True):
+            A = np.vstack(grp["_f"].to_numpy())
+            b = grp["rating"].to_numpy()
+            ata = A.T @ A + eye * len(b)  # reference scales λ by #obs
+            x = np.linalg.solve(ata, A.T @ b)
+            keys.append(key)
+            out.append(x.tolist())
+        return pd.DataFrame({group_col: keys, "factors": out})
 
     joined = ratings.join(
         fixed.select(F.col(other_col), F.col("factors").alias("_f")), other_col
-    ).select(group_col, "rating", "_f")
-    return joined.groupBy(group_col).applyInPandas(solve, schema)
+    ).select(
+        group_col,
+        "rating",
+        "_f",
+        F.pmod(F.col(group_col), F.lit(NUM_SOLVE_BLOCKS)).alias("_blk"),
+    )
+    return joined.groupBy("_blk").applyInPandas(solve_block, schema)
 
 
 def predict(ratings: DataFrame, user_f: DataFrame, item_f: DataFrame) -> DataFrame:

@@ -46,7 +46,8 @@ def item_similarity(
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
-    ui = ratings.select("user", "item").distinct()
+    # materialized once: referenced by degrees AND both join sides
+    ui = ratings.select("user", "item").distinct().localCheckpoint(eager=True)
     item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
     user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
 

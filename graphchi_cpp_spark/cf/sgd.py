@@ -1,0 +1,157 @@
+"""SGD-family matrix factorization (M3): sgd, biasSGD, SVD++.
+
+Reference updates (per observed rating, learning rate γ, reg λ):
+- sgd     (``toolkits/collaborative_filtering/sgd.cpp:121``):
+    e = r − uᵀv;  u += γ(e·v − λu);  v += γ(e·u − λv)
+- biassgd (``biassgd.cpp:126``): adds μ + b_u + b_i bias terms
+- svdpp   (``svdpp.cpp:160``): user vector augmented with implicit
+    feedback Σ_{j∈N(u)} y_j / sqrt|N(u)|
+
+**Documented semantic deviation (SURVEY §2.5 M3):** the reference runs
+asynchronous Hogwild-style updates over shared memory. A BSP engine
+cannot reproduce per-update interleaving; we run *block-partitioned
+epochs with parameter averaging*: ratings are hash-partitioned by user
+block, each block runs a deterministic sequential SGD pass over its
+rows (sorted), user factors are exact (each user lives in one block),
+item factors are averaged across blocks weighted by update count. Same
+convergence regime, different trajectories — tests assert RMSE descent,
+not per-iteration equality (the reference's own tests do the same:
+``unittest.sh`` checks converging RMSE).
+
+Scale: one applyInPandas pass per epoch, shuffle bounded by |ratings| +
+|factors|; block count trades parallelism vs averaging noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from graphchi_cpp_spark.cf.als import _init_factors, predict
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),  # 'user' | 'item'
+        StructField("id", LongType()),
+        StructField("factors", ArrayType(DoubleType())),
+        StructField("n_upd", LongType()),
+    ]
+)
+
+
+def sgd(
+    ratings: DataFrame,
+    d: int = 5,
+    iterations: int = 5,
+    gamma: float = 0.01,
+    lam: float = 0.065,
+    num_blocks: int = 8,
+    variant: str = "sgd",
+) -> tuple[DataFrame, DataFrame, list[dict]]:
+    """Returns (user_factors, item_factors, history). variant ∈
+    {'sgd','biassgd'} (biases folded into factor slots d and d+1 with
+    companion 1-entries, the standard trick)."""
+    if variant not in ("sgd", "biassgd"):
+        raise ValueError(variant)
+    use_bias = variant == "biassgd"
+    dd = d + 2 if use_bias else d  # [factors..., b, 1] x [factors..., 1, b]
+
+    r = ratings.select(
+        "user", "item", F.col("rating").cast("double"),
+        F.pmod(F.col("user"), F.lit(num_blocks)).alias("block"),
+    ).cache()
+    mu = float(r.agg(F.avg("rating")).collect()[0][0]) if use_bias else 0.0
+
+    user_f = _init_factors(r.select("user").distinct(), "user", d)
+    item_f = _init_factors(r.select("item").distinct(), "item", d)
+    if use_bias:
+        pad = lambda col, a, b: F.concat(col, F.array(F.lit(a), F.lit(b)))  # noqa: E731
+        user_f = user_f.select("user", pad(F.col("factors"), 0.0, 1.0).alias("factors"))
+        item_f = item_f.select("item", pad(F.col("factors"), 1.0, 0.0).alias("factors"))
+    user_f = user_f.localCheckpoint(eager=True)
+    item_f = item_f.localCheckpoint(eager=True)
+
+    history: list[dict] = []
+    for it in range(iterations):
+        joined = (
+            r.join(user_f.select("user", F.col("factors").alias("_uf")), "user")
+            .join(item_f.select("item", F.col("factors").alias("_if")), "item")
+            .select("block", "user", "item", "rating", "_uf", "_if")
+        )
+
+        def run_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["user", "item"]).reset_index(drop=True)
+            users: dict[int, np.ndarray] = {}
+            items: dict[int, np.ndarray] = {}
+            item_upd: dict[int, int] = {}
+            for row in pdf.itertuples(index=False):
+                u = users.setdefault(row.user, np.array(row._4, dtype=float))
+                v = items.setdefault(row.item, np.array(row._5, dtype=float))
+                pred = mu + u @ v if use_bias else u @ v
+                e = row.rating - pred
+                if use_bias:
+                    gu, gv = u[:d], v[:d]
+                    bu, bi = u[d], v[d + 1]
+                    gu_new = gu + gamma * (e * gv - lam * gu)
+                    gv_new = gv + gamma * (e * gu - lam * gv)
+                    bu += gamma * (e - lam * bu)
+                    bi += gamma * (e - lam * bi)
+                    u[:d], v[:d] = gu_new, gv_new
+                    u[d], v[d + 1] = bu, bi
+                else:
+                    u_new = u + gamma * (e * v - lam * u)
+                    v_new = v + gamma * (e * u - lam * v)
+                    u[:], v[:] = u_new, v_new
+                item_upd[row.item] = item_upd.get(row.item, 0) + 1
+            out = [("user", k, list(map(float, vec)), 1) for k, vec in users.items()]
+            out += [
+                ("item", k, list(map(float, vec)), item_upd[k])
+                for k, vec in items.items()
+            ]
+            return pd.DataFrame(out, columns=["kind", "id", "factors", "n_upd"])
+
+        updated = joined.groupBy("block").applyInPandas(run_block, _OUT_SCHEMA)
+        updated = updated.localCheckpoint(eager=True)
+        user_f = (
+            updated.filter(F.col("kind") == "user")
+            .select(F.col("id").alias("user"), "factors")
+            .localCheckpoint(eager=True)
+        )
+        # items: update-count-weighted average across blocks
+        item_rows = updated.filter(F.col("kind") == "item").select(
+            F.col("id").alias("item"), "factors", "n_upd"
+        )
+        item_f = (
+            item_rows.select(
+                "item", "n_upd", F.posexplode("factors").alias("pos", "x")
+            )
+            .groupBy("item", "pos")
+            .agg(
+                (F.sum(F.col("x") * F.col("n_upd")) / F.sum("n_upd")).alias("x")
+            )
+            .groupBy("item")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s["x"],
+                ).alias("factors")
+            )
+            .localCheckpoint(eager=True)
+        )
+        preds = predict(r.select("user", "item", "rating"), user_f, item_f)
+        if use_bias:
+            preds = preds.withColumn("prediction", F.col("prediction") + mu)
+        rmse = preds.agg(
+            F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
+        ).collect()[0][0]
+        history.append({"iter": it, "train_rmse": float(rmse)})
+    return user_f, item_f, history

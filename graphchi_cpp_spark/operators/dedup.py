@@ -91,29 +91,54 @@ def shingle_hashes_sql(docs_sql: str = "documents", n: int = 3) -> str:
     """
 
 
+def _shingle_hash_array(text_col: str, n: int):
+    """Per-row array of shingle hashes (min is duplicate-insensitive, so
+    no distinct needed)."""
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.transform(grams, lambda g: F.pmod(md5_long(g), F.lit(HASH_PRIME)))
+
+
+def minhash_columns(
+    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) — ZERO-shuffle minhash: the signature is a
+    per-row projection (array_min over the shingle-hash array under each
+    affine permutation), entirely inside whole-stage codegen. This is the
+    scale path: 100 TB of documents → embarrassingly parallel scan, no
+    exchange until the LSH band join."""
+    arr = _shingle_hash_array(text_col, n)
+    d = docs.select("doc_id", arr.alias("_shs"))
+
+    def perm(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(HASH_PRIME))
+
+    mh_cols = [
+        F.array_min(F.transform(F.col("_shs"), perm(a, b))).alias(f"mh{i}")
+        for i, a, b in _hash_params(num_hashes)
+    ]
+    return d.select("doc_id", *mh_cols)
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """(doc_id, hash_id, mh) — minhash_i = min over shingles of
-    (a_i·sh + b_i) mod p."""
-    sh = shingle_hashes(docs, text_col, n)
-    params = F.array(
+    """(doc_id, hash_id, mh) — long-form view of minhash_columns (same
+    math as the SQL oracle's explode+groupBy; Spark side needs no shuffle,
+    the explode is a cheap projection of K columns)."""
+    wide = minhash_columns(docs, text_col, n, num_hashes)
+    pairs = F.array(
         *[
-            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for i, a, b in _hash_params(num_hashes)
+            F.struct(F.lit(i).alias("hash_id"), F.col(f"mh{i}").alias("mh"))
+            for i in range(num_hashes)
         ]
     )
-    return (
-        sh.select("doc_id", "sh", F.explode(params).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.i").alias("hash_id"),
-            F.pmod(F.col("p.a") * F.col("sh") + F.col("p.b"), F.lit(HASH_PRIME)).alias(
-                "v"
-            ),
-        )
-        .groupBy("doc_id", "hash_id")
-        .agg(F.min("v").alias("mh"))
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.hash_id").cast("int").alias("hash_id"), F.col("p.mh")
     )
 
 
@@ -142,21 +167,30 @@ def lsh_candidates(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-duplicate pairs: docs agreeing on all
-    rows of at least one band. 8×4 ≈ catches Jaccard ≳ 0.5."""
-    sig = minhash_signatures(docs, text_col, n, bands * rows_per_band)
-    banded = (
-        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    rows of at least one band. 8×4 ≈ catches Jaccard ≳ 0.5.
+
+    Scale shape: band keys are per-row projections (no shuffle), then ONE
+    explode to (doc, band, key) and ONE self-equi-join on (band, key) —
+    output-bounded, never all-pairs."""
+    wide = minhash_columns(docs, text_col, n, bands * rows_per_band)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
             F.concat_ws(
                 ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("hash_id", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("band_key")
+                *[
+                    F.col(f"mh{band * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_key"),
         )
-    )
+        for band in range(bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    ).localCheckpoint(eager=True)
     a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (

@@ -1,0 +1,58 @@
+"""SVD (Lanczos), NMF, SGD family."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphchi_cpp_spark.cf.nmf import nmf
+from graphchi_cpp_spark.cf.sgd import sgd
+from graphchi_cpp_spark.cf.svd import lanczos_svd
+from graphchi_cpp_spark.datasets import ratings
+
+
+def test_lanczos_matches_numpy(spark):
+    # generic matrix (distinct singular values — Lanczos with a single
+    # start vector cannot resolve multiplicities, same as the reference)
+    rng = np.random.RandomState(7)
+    A = rng.rand(8, 6)
+    rows = [
+        (u, i, float(A[u, i])) for u in range(8) for i in range(6)
+    ]
+    r = spark.createDataFrame(rows, "user long, item long, rating double")
+    s, U, V = lanczos_svd(r, k=3, max_iter=6)
+    want = np.linalg.svd(A, compute_uv=False)[:3]
+    assert s == pytest.approx(want, rel=1e-5)
+    assert U.count() == 8 and V.count() == 6
+
+
+def test_lanczos_on_testdata(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    s, U, V = lanczos_svd(r, k=2)
+    assert len(s) == 2
+    assert s[0] >= s[1] > 0
+
+
+def test_nmf_converges_nonnegative(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    W, H, hist = nmf(r, d=4, iterations=4)
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+    assert W.select(F.min(F.array_min("factors"))).collect()[0][0] >= 0
+    assert H.select(F.min(F.array_min("factors"))).collect()[0][0] >= 0
+
+
+def test_sgd_converges_deterministic(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    _, _, h1 = sgd(r, d=4, iterations=3, gamma=0.02)
+    rmses1 = [h["train_rmse"] for h in h1]
+    assert rmses1[-1] < rmses1[0]
+    _, _, h2 = sgd(r, d=4, iterations=3, gamma=0.02)
+    assert rmses1 == [h["train_rmse"] for h in h2]
+
+
+def test_biassgd_converges(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    _, _, hist = sgd(r, d=4, iterations=3, gamma=0.02, variant="biassgd")
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+    assert rmses[-1] < 1.5
