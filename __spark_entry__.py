@@ -595,6 +595,36 @@ def _register_ml_extras():
         )
 
 
+def _register_windows():
+    from graphchi_cpp_spark.datasets import load_table
+    from graphchi_cpp_spark.streaming.windows import (
+        hourly_event_stats,
+        hourly_event_stats_sql,
+        sessionize,
+        sessionize_sql,
+    )
+
+    @query("events_hourly", hourly_event_stats_sql())
+    def q_events_hourly(spark, sf_dir):
+        return hourly_event_stats(load_table(spark, sf_dir, "events"))
+
+    @query("sessionize", sessionize_sql())
+    def q_sessionize(spark, sf_dir):
+        return sessionize(load_table(spark, sf_dir, "events"))
+
+    @query("als_ml_rmse")  # MLlib blocked ALS — rows-only check
+    def q_als_ml(spark, sf_dir):
+        from graphchi_cpp_spark.cf.als_ml import als_ml
+        from graphchi_cpp_spark.datasets import ratings
+
+        _, _, preds = als_ml(ratings(spark, sf_dir), d=4, iterations=5)
+        return preds.agg(
+            F.round(
+                F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))), 4
+            ).alias("rmse")
+        )
+
+
 _register_core()
 _register_ops()
 _register_graph_algos()
@@ -603,6 +633,7 @@ _register_pipeline_ops()
 _register_advanced_algos()
 _register_parsers_streaming()
 _register_ml_extras()
+_register_windows()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from graphchi_cpp_spark.graph import PropertyGraph
 
 
-def kcores(graph: PropertyGraph, max_k: int = 1000) -> DataFrame:
+def kcores(graph: PropertyGraph, max_k: int = 1_000_000) -> DataFrame:
     """Returns (id, core) for every vertex; isolated vertices → core 0."""
     spark = graph.edges.sparkSession
     e = graph.symmetrize().edges.select("src", "dst").localCheckpoint(eager=True)
@@ -44,7 +44,17 @@ def kcores(graph: PropertyGraph, max_k: int = 1000) -> DataFrame:
 
     k = 0
     while k < max_k and active.limit(1).count() > 0:
-        k += 1
+        # jump k straight to the smallest remaining degree: on dense
+        # graphs (e.g. a near-complete graph, min degree ~n) stepping
+        # k by 1 would run hundreds of empty peel levels; the peel order
+        # and core numbers are identical because no vertex has degree
+        # between k and the minimum (standard degeneracy-order shortcut)
+        mind = (
+            e.groupBy("src").agg(F.count("*").alias("d")).agg(F.min("d")).collect()
+        )[0][0]
+        k = max(k + 1, int(mind) if mind is not None else k + 1)
+        if k > max_k:
+            break
         while True:
             deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
             doomed = (

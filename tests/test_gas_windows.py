@@ -1,0 +1,84 @@
+"""GAS API veneer, event-time windows, pyspark.ml ALS backend."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphchi_cpp_spark.datasets import load_table
+from graphchi_cpp_spark.gas import run_gas
+from graphchi_cpp_spark.graph import PropertyGraph
+from graphchi_cpp_spark.pregel import msg, old, src
+from graphchi_cpp_spark.streaming.windows import (
+    hourly_event_stats,
+    hourly_event_stats_sql,
+    sessionize,
+    sessionize_sql,
+)
+from tests.conftest import assert_df_matches_oracle
+
+
+def test_gas_pagerank_equivalence(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["src", "dst"])
+    g = PropertyGraph.from_edges(edges)
+    outdeg = g.out_degrees()
+    g2 = PropertyGraph(
+        edges, g.vertices.join(outdeg, "id", "left").select(
+            "id", F.coalesce("out_degree", F.lit(0)).cast("double").alias("outdeg")
+        )
+    )
+    ranks = run_gas(
+        g2,
+        vertex_col="rank",
+        initial=F.lit(1.0),
+        gather=F.try_divide(src("rank"), src("outdeg")),
+        sum_agg=F.sum(msg()),
+        apply=F.lit(0.15) + F.lit(0.85) * F.coalesce(msg(), F.lit(0.0)),
+        num_iterations=2,
+    )
+    from graphchi_cpp_spark.algos.pagerank import pagerank
+
+    want = {r["id"]: r["rank"] for r in pagerank(g, max_iter=2).collect()}
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_gas_wcc_with_signal(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["src", "dst"])
+    g = PropertyGraph.from_edges(edges).symmetrize()
+    labels = run_gas(
+        g,
+        vertex_col="label",
+        initial=F.col("id"),
+        gather=src("label"),
+        sum_agg=F.min(msg()),
+        apply=F.least(F.col("label"), F.coalesce(msg(), F.col("label"))),
+        signal_condition=F.col("label") < old("label"),
+        num_iterations=20,
+    )
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_hourly_event_stats_vs_duckdb(spark, sf_dir, duck):
+    ev = load_table(spark, sf_dir, "events")
+    assert_df_matches_oracle(
+        hourly_event_stats(ev), duck, hourly_event_stats_sql(), float_ndigits=3
+    )
+
+
+def test_sessionize_vs_duckdb(spark, sf_dir, duck):
+    ev = load_table(spark, sf_dir, "events")
+    assert_df_matches_oracle(sessionize(ev), duck, sessionize_sql())
+
+
+def test_als_ml_backend(spark, sf_dir):
+    from graphchi_cpp_spark.cf.als_ml import als_ml
+    from graphchi_cpp_spark.datasets import ratings
+
+    r = ratings(spark, sf_dir)
+    uf, itf, preds = als_ml(r, d=4, iterations=5)
+    rmse = preds.agg(
+        F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
+    ).collect()[0][0]
+    assert rmse < 1.0  # fits the planted ratings structure
+    assert uf.count() > 0 and itf.count() > 0
