@@ -612,6 +612,44 @@ def _register_windows():
     def q_sessionize(spark, sf_dir):
         return sessionize(load_table(spark, sf_dir, "events"))
 
+    @query(
+        "word_pair_mi",
+        __import__(
+            "graphchi_cpp_spark.operators.mutual_info", fromlist=["word_pair_mi_sql"]
+        ).word_pair_mi_sql(min_pairs=50),
+    )
+    def q_word_mi(spark, sf_dir):
+        from graphchi_cpp_spark.operators.mutual_info import word_pair_mi
+
+        return word_pair_mi(load_table(spark, sf_dir, "documents"), min_pairs=50)
+
+    @query("wals_rmse_history")  # weighted ALS — rows-only
+    def q_wals(spark, sf_dir):
+        from graphchi_cpp_spark.cf.als import als
+        from graphchi_cpp_spark.datasets import ratings
+
+        r = ratings(spark, sf_dir).withColumn(
+            "w", 1.0 + F.pmod(F.col("user") + F.col("item"), F.lit(3)).cast("double")
+        )
+        _, _, hist = als(r, d=4, iterations=2, weight_col="w")
+        return spark.createDataFrame(
+            [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
+            "iter int, train_rmse double",
+        )
+
+    @query("svdpp_rmse_history")  # SVD++ block epochs — rows-only
+    def q_svdpp(spark, sf_dir):
+        from graphchi_cpp_spark.cf.sgd import sgd
+        from graphchi_cpp_spark.datasets import ratings
+
+        _, _, hist = sgd(
+            ratings(spark, sf_dir), d=4, iterations=2, gamma=0.02, variant="svdpp"
+        )
+        return spark.createDataFrame(
+            [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
+            "iter int, train_rmse double",
+        )
+
     @query("als_ml_rmse")  # MLlib blocked ALS — rows-only check
     def q_als_ml(spark, sf_dir):
         from graphchi_cpp_spark.cf.als_ml import als_ml

@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "random_walks",
+    "word_pair_mi",
+    "events_hourly",
+    "sessionize",
 ]
 
 

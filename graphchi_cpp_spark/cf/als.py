@@ -62,6 +62,7 @@ def _solve_side(
     other_col: str,
     d: int,
     reg: float,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One ALS half-step: solve factors for ``group_col`` given ``fixed``
     factors of ``other_col``.
@@ -78,18 +79,28 @@ def _solve_side(
         ]
     )
 
+    weighted = weight_col is not None
+
     def solve_block(pdf: pd.DataFrame) -> pd.DataFrame:
         keys, out = [], []
         eye = reg * np.eye(d)
         for key, grp in pdf.groupby(group_col, sort=True):
             A = np.vstack(grp["_f"].to_numpy())
             b = grp["rating"].to_numpy()
-            ata = A.T @ A + eye * len(b)  # reference scales λ by #obs
-            x = np.linalg.solve(ata, A.T @ b)
+            if weighted:
+                # wALS (wals.cpp): solve (AᵀWA + λ·n·I)x = AᵀWb
+                w = grp["_w"].to_numpy()
+                Aw = A * w[:, None]
+                ata = A.T @ Aw + eye * len(b)
+                x = np.linalg.solve(ata, Aw.T @ b)
+            else:
+                ata = A.T @ A + eye * len(b)  # reference scales λ by #obs
+                x = np.linalg.solve(ata, A.T @ b)
             keys.append(key)
             out.append(x.tolist())
         return pd.DataFrame({group_col: keys, "factors": out})
 
+    extra = [F.col(weight_col).cast("double").alias("_w")] if weighted else []
     joined = ratings.join(
         fixed.select(F.col(other_col), F.col("factors").alias("_f")), other_col
     ).select(
@@ -97,6 +108,7 @@ def _solve_side(
         "rating",
         "_f",
         F.pmod(F.col(group_col), F.lit(NUM_SOLVE_BLOCKS)).alias("_blk"),
+        *extra,
     )
     return joined.groupBy("_blk").applyInPandas(solve_block, schema)
 
@@ -126,13 +138,19 @@ def als(
     reg: float = LAMBDA_DEFAULT,
     validation: DataFrame | None = None,
     halt_on_rmse_increase: bool = False,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, list[dict]]:
     """Run ALS; returns (user_factors, item_factors, history).
 
     history rows: {iter, train_rmse[, validation_rmse]} — the reference
     prints exactly this per iteration (``als.cpp:164``).
+    ``weight_col``: per-observation confidence weights → wALS (M2,
+    ``wals.cpp:111``), same alternating skeleton, weighted normal eqs.
     """
-    ratings = ratings.select("user", "item", F.col("rating").cast("double")).cache()
+    cols = ["user", "item", F.col("rating").cast("double")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col))
+    ratings = ratings.select(*cols).cache()
     item_f = _init_factors(
         ratings.select("item").distinct(), "item", d
     ).localCheckpoint(eager=True)
@@ -141,12 +159,12 @@ def als(
     prev_val = float("inf")
 
     for it in range(iterations):
-        user_f = _solve_side(ratings, item_f, "user", "item", d, reg).localCheckpoint(
-            eager=True
-        )
-        item_f = _solve_side(ratings, user_f, "item", "user", d, reg).localCheckpoint(
-            eager=True
-        )
+        user_f = _solve_side(
+            ratings, item_f, "user", "item", d, reg, weight_col
+        ).localCheckpoint(eager=True)
+        item_f = _solve_side(
+            ratings, user_f, "item", "user", d, reg, weight_col
+        ).localCheckpoint(eager=True)
         row = {"iter": it}
         row["train_rmse"] = (
             predict(ratings, user_f, item_f)

@@ -50,6 +50,10 @@ def item_similarity(
     ui = ratings.select("user", "item").distinct().localCheckpoint(eager=True)
     item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
     user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
+    # degree tables are O(#entities); broadcast below a size guard
+    # (checkpointed inputs lose stats → Catalyst would sort-merge)
+    small = ui.count() <= 50_000_000
+    bcast = F.broadcast if small else (lambda df: df)
 
     a = ui.select("user", F.col("item").alias("item_a"))
     b = ui.select(
@@ -62,7 +66,7 @@ def item_similarity(
         pairs = pairs.filter(F.col("item_a") < F.col("item_b"))
 
     if metric in ("aa", "ra"):
-        pairs = pairs.join(user_deg, "user")
+        pairs = pairs.join(bcast(user_deg), "user")
         contrib = (
             F.lit(1.0) / F.log(F.col("user_deg"))
             if metric == "aa"
@@ -78,8 +82,8 @@ def item_similarity(
 
     co = pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("c"))
     co = co.filter(F.col("c") >= min_common)
-    na = item_deg.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
-    nb = item_deg.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    na = bcast(item_deg.select(F.col("item").alias("item_a"), F.col("n").alias("na")))
+    nb = bcast(item_deg.select(F.col("item").alias("item_b"), F.col("n").alias("nb")))
     j = co.join(na, "item_a").join(nb, "item_b")
     if metric == "jaccard":
         sim = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))

@@ -58,11 +58,15 @@ def sgd(
     variant: str = "sgd",
 ) -> tuple[DataFrame, DataFrame, list[dict]]:
     """Returns (user_factors, item_factors, history). variant ∈
-    {'sgd','biassgd'} (biases folded into factor slots d and d+1 with
-    companion 1-entries, the standard trick)."""
-    if variant not in ("sgd", "biassgd"):
+    {'sgd','biassgd','svdpp'} (biases folded into factor slots d and d+1
+    with companion 1-entries, the standard trick; svdpp additionally
+    augments the user vector with implicit feedback Σ_{j∈N(u)} y_j /
+    sqrt|N(u)| maintained per-user inside the block pass —
+    ``svdpp.cpp:160``)."""
+    if variant not in ("sgd", "biassgd", "svdpp"):
         raise ValueError(variant)
-    use_bias = variant == "biassgd"
+    use_bias = variant in ("biassgd", "svdpp")
+    use_implicit = variant == "svdpp"
     dd = d + 2 if use_bias else d  # [factors..., b, 1] x [factors..., 1, b]
 
     r = ratings.select(
@@ -93,16 +97,30 @@ def sgd(
             users: dict[int, np.ndarray] = {}
             items: dict[int, np.ndarray] = {}
             item_upd: dict[int, int] = {}
+            implicit: dict[int, np.ndarray] = {}
+            if use_implicit:
+                # Σ y_j / sqrt|N(u)| per user from this block's history;
+                # y_j approximated by the item's latent part (svdpp's y
+                # vectors folded onto q — the one-vector simplification)
+                for uid, grp in pdf.groupby("user"):
+                    vecs = np.vstack(grp["_if"].to_numpy())[:, :d]
+                    implicit[uid] = vecs.sum(axis=0) / np.sqrt(len(grp))
             for row in pdf.itertuples(index=False):
                 u = users.setdefault(row.user, np.array(row._4, dtype=float))
                 v = items.setdefault(row.item, np.array(row._5, dtype=float))
-                pred = mu + u @ v if use_bias else u @ v
+                if use_implicit:
+                    u_eff = u.copy()
+                    u_eff[:d] = u_eff[:d] + implicit[row.user]
+                    pred = mu + u_eff @ v
+                else:
+                    pred = mu + u @ v if use_bias else u @ v
                 e = row.rating - pred
                 if use_bias:
                     gu, gv = u[:d], v[:d]
                     bu, bi = u[d], v[d + 1]
+                    gu_eff = gu + implicit[row.user] if use_implicit else gu
                     gu_new = gu + gamma * (e * gv - lam * gu)
-                    gv_new = gv + gamma * (e * gu - lam * gv)
+                    gv_new = gv + gamma * (e * gu_eff - lam * gv)
                     bu += gamma * (e - lam * bu)
                     bi += gamma * (e - lam * bi)
                     u[:d], v[:d] = gu_new, gv_new

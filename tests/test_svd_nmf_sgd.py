@@ -56,3 +56,40 @@ def test_biassgd_converges(spark, sf_dir):
     rmses = [h["train_rmse"] for h in hist]
     assert rmses[-1] < rmses[0]
     assert rmses[-1] < 1.5
+
+
+def test_svdpp_converges(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    _, _, hist = sgd(r, d=4, iterations=3, gamma=0.02, variant="svdpp")
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+
+
+def test_wals_weighted(spark, sf_dir):
+    from graphchi_cpp_spark.cf.als import als
+
+    r = ratings(spark, sf_dir).withColumn(
+        "w", 1.0 + F.pmod(F.col("user") + F.col("item"), F.lit(3)).cast("double")
+    )
+    _, _, hist = als(r, d=4, iterations=2, weight_col="w")
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < 1.2
+    # weighting changes the fit vs unweighted
+    _, _, hist_u = als(r.drop("w"), d=4, iterations=2)
+    assert rmses != [h["train_rmse"] for h in hist_u]
+
+
+def test_word_pair_mi(spark, duck, sf_dir):
+    from graphchi_cpp_spark.operators.mutual_info import (
+        word_pair_mi,
+        word_pair_mi_sql,
+    )
+    from tests.conftest import assert_df_matches_oracle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_df_matches_oracle(
+        word_pair_mi(docs, min_pairs=20),
+        duck,
+        word_pair_mi_sql(min_pairs=20),
+        float_ndigits=5,
+    )
