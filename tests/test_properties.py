@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes the reference has none; we add them for the
+relational operators where a Python reference implementation is cheap)."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=50),  # id (tiebreak)
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows_strategy, st.integers(min_value=1, max_value=4))
+def test_top_k_per_key_matches_python(spark_global, rows, k):
+    from graphchi_cpp_spark.operators.toplist import top_k_per_key
+
+    df = spark_global.createDataFrame(rows, "key long, id long, val long")
+    got = {
+        (r["key"], r["id"], r["rank"])
+        for r in top_k_per_key(df, "key", "val", k, tiebreak_col="id").collect()
+    }
+    want = set()
+    by_key: dict = {}
+    for key, id_, val in rows:
+        by_key.setdefault(key, []).append((id_, val))
+    for key, items in by_key.items():
+        ranked = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (id_, _) in enumerate(ranked, 1):
+            want.add((key, id_, rank))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_wcc_matches_python_union_find(spark_global, edges):
+    from graphchi_cpp_spark.algos.connected_components import connected_components
+    from graphchi_cpp_spark.graph import PropertyGraph
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark_global.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(PropertyGraph.from_edges(df)).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark

@@ -1,0 +1,68 @@
+"""Throughput-scaling benchmark: PageRank / WCC / triangle edges-per-second
+on generated graphs of increasing size.
+
+The driver's sf0.1 bench is latency-dominated (sub-second equivalent work
+behind ~1s/job Spark overhead); this tool measures the quantity the
+BASELINE comparison is actually about — per-edge throughput once data
+dwarfs fixed costs — and how it scales with graph size on local[32].
+
+Usage: python tools/bench_throughput.py [n_edges ...]  (default 1M 10M)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graphchi_cpp_spark.graph import PropertyGraph, erdos_renyi
+from graphchi_cpp_spark.session import get_spark
+
+
+def main():
+    sizes = [int(float(s)) for s in sys.argv[1:]] or [1_000_000, 10_000_000]
+    spark = get_spark("bench-throughput", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for n_edges in sizes:
+        n = max(1000, n_edges // 10)  # avg degree 10
+        edges = erdos_renyi(spark, n, avg_degree=10, seed=42).localCheckpoint(
+            eager=True
+        )
+        m = edges.count()
+        g = PropertyGraph(edges)
+
+        t0 = time.time()
+        from graphchi_cpp_spark.algos.pagerank import pagerank
+
+        pagerank(g, max_iter=3).count()
+        pr_s = time.time() - t0
+
+        t0 = time.time()
+        from graphchi_cpp_spark.algos.connected_components import (
+            connected_components,
+        )
+
+        connected_components(g, max_iter=30).count()
+        cc_s = time.time() - t0
+
+        results.append(
+            {
+                "n_edges": m,
+                "pagerank_3iter_s": round(pr_s, 2),
+                "pagerank_edges_per_s_per_iter": int(3 * m / pr_s),
+                "wcc_s": round(cc_s, 2),
+                "wcc_edges_per_s": int(m / cc_s),
+            }
+        )
+        print(json.dumps(results[-1]))
+    print(json.dumps({"throughput_scaling": results}))
+
+
+if __name__ == "__main__":
+    main()
