@@ -596,7 +596,7 @@ def _register_ml_extras():
 
 
 def _register_windows():
-    from graphchi_cpp_spark.datasets import load_table
+    from graphchi_cpp_spark.datasets import BIPARTITE_EDGES_SQL, load_table
     from graphchi_cpp_spark.streaming.windows import (
         hourly_event_stats,
         hourly_event_stats_sql,
@@ -649,6 +649,55 @@ def _register_windows():
             [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
             "iter int, train_rmse double",
         )
+
+    @query(
+        "doc_term_counts",
+        """
+        SELECT doc_id, term, count(*) AS n FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ) WHERE term != '' GROUP BY doc_id, term
+        """,
+    )
+    def q_doc_term_counts(spark, sf_dir):
+        from graphchi_cpp_spark.operators.topics import doc_term_counts
+
+        return doc_term_counts(load_table(spark, sf_dir, "documents"))
+
+    @query("lda_topics")  # MLlib LDA — rows-only check
+    def q_lda(spark, sf_dir):
+        from graphchi_cpp_spark.operators.topics import lda_topics
+
+        topics, _ = lda_topics(
+            load_table(spark, sf_dir, "documents"), k=3, max_iter=5
+        )
+        return topics.select("topic", "term")
+
+    _SUBGRAPH_SEEDS = (
+        f"SELECT id FROM (SELECT src AS id FROM ({BIPARTITE_EDGES_SQL}) "
+        f"UNION SELECT dst FROM ({BIPARTITE_EDGES_SQL})) WHERE id % 200 = 0"
+    )
+
+    @query(
+        "khop_subgraph",
+        f"""
+        WITH reach AS (
+            SELECT id FROM (
+                {__import__("graphchi_cpp_spark.algos.subgraph", fromlist=["khop_vertices_sql"]).khop_vertices_sql(BIPARTITE_EDGES_SQL, _SUBGRAPH_SEEDS, 1)}
+            )
+        ),
+        e AS ({BIPARTITE_EDGES_SQL})
+        SELECT DISTINCT e.src, e.dst FROM e
+        JOIN reach r ON r.id = e.src OR r.id = e.dst
+        """,
+    )
+    def q_khop_subgraph(spark, sf_dir):
+        from graphchi_cpp_spark.algos.subgraph import khop_subgraph
+        from graphchi_cpp_spark.graph import PropertyGraph
+
+        g = _bipartite_graph(spark, sf_dir)
+        seeds = g.vertices.filter(F.col("id") % 200 == 0)
+        return khop_subgraph(g, seeds, 1).select("src", "dst")
 
     @query("als_ml_rmse")  # MLlib blocked ALS — rows-only check
     def q_als_ml(spark, sf_dir):

@@ -28,34 +28,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphchi_cpp_spark.graph import PropertyGraph
-from graphchi_cpp_spark.pregel import Pregel, msg, old, src
 
 
 def connected_components(
     graph: PropertyGraph,
     max_iter: int = 50,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
-    """Returns (id, component) where component = min vertex id in the WCC."""
-    sym = graph.symmetrize()
-    edges = sym.edges.select("src", "dst").cache()
-    vertices = graph.vertices.select("id")
+    """Returns (id, component) where component = min vertex id in the WCC.
 
-    p = (
-        Pregel(edges, vertices)
-        .with_vertex_column(
-            "label",
-            F.col("id"),
-            F.least(F.col("label"), F.coalesce(msg(), F.col("label"))),
-        )
-        .send_msg_to_dst(src("label"))
-        .agg_msgs(F.min(msg()))
-        # a vertex stays in the frontier iff its label improved this superstep
-        .with_frontier(active_after_update=F.col("label") < old("label"))
+    Physical strategy: partition reuse (see algos.pagerank) — symmetrized
+    edges hash-partitioned by src, labels by id, both cached, so the
+    frontier semi-join, gather join and update join are all
+    co-partitioned: ONE exchange per superstep (the min-message partial
+    aggregation). Lineage is cut (checkpoint + re-cache) every
+    ``checkpoint_every`` supersteps; in between, cache() bounds
+    recomputation while keeping partitioning info.
+    """
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    e = graph.edges.select("src", "dst")
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(p, "src")
+        .cache()
     )
-    result = p.run(max_iter=max_iter, checkpoint_every=checkpoint_every)
+    v = (
+        graph.vertices.select("id")
+        .select("id", F.col("id").alias("label"), F.lit(True).alias("act"))
+        .repartition(p, "id")
+        .cache()
+    )
+    v.count()
+
+    for it in range(max_iter):
+        frontier = v.filter("act").select(F.col("id").alias("src"), "label")
+        msgs = (
+            edges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("m"))
+        )
+        nv = (
+            v.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("m", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce("m", F.col("label") + 1) < F.col("label")).alias("act"),
+            )
+            .cache()
+        )
+        active = nv.filter("act").limit(1).count()
+        v.unpersist()
+        v = nv
+        if active == 0:
+            break
+        if (it + 1) % checkpoint_every == 0:
+            v = v.localCheckpoint(eager=True).repartition(p, "id").cache()
+
     edges.unpersist()
-    return result.select("id", F.col("label").alias("component"))
+    return v.select("id", F.col("label").alias("component"))
 
 
 def component_sizes(components: DataFrame) -> DataFrame:
