@@ -25,7 +25,7 @@ by src so the wedge join co-locates, and let AQE skew-split hub sources.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from graphchi_cpp_spark.graph import PropertyGraph
 

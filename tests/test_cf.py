@@ -10,7 +10,6 @@ from graphchi_cpp_spark.cf.baselines import (
     baseline_rmse,
 )
 from graphchi_cpp_spark.cf.eval import (
-    ap_at_k_sql,
     average_precision_at_k,
     mean_average_precision,
 )

@@ -9,7 +9,6 @@ from graphchi_cpp_spark.operators.dedup import (
     lsh_candidates,
     lsh_candidates_sql,
     minhash_dedup_pairs,
-    minhash_dedup_pairs_sql,
     minhash_signatures,
     minhash_signatures_sql,
     ngram_jaccard,

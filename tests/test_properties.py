@@ -2,7 +2,7 @@
 strategy (SURVEY §5 notes the reference has none; we add them for the
 relational operators where a Python reference implementation is cheap)."""
 
-from collections import Counter
+
 
 import pytest
 from hypothesis import given, settings, strategies as st

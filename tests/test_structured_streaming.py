@@ -4,7 +4,6 @@ foreachBatch → DynamicGraph ingestion, compared against batch state."""
 import json
 import os
 import tempfile
-import time
 
 from graphchi_cpp_spark.streaming.ingest import DynamicGraph
 
