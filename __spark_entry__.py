@@ -699,6 +699,16 @@ def _register_windows():
         seeds = g.vertices.filter(F.col("id") % 200 == 0)
         return khop_subgraph(g, seeds, 1).select("src", "dst")
 
+    @query("adpredictor_weights")  # parallel EP sweeps — rows-only check
+    def q_adpredictor(spark, sf_dir):
+        from graphchi_cpp_spark.cf.adpredictor import adpredictor, event_impressions
+
+        imp = event_impressions(load_table(spark, sf_dir, "events"))
+        w = adpredictor(imp, sweeps=2)
+        return w.select(
+            "feature", F.round("mu", 4).alias("mu"), F.round("sigma2", 4).alias("sigma2")
+        )
+
     @query("als_ml_rmse")  # MLlib blocked ALS — rows-only check
     def q_als_ml(spark, sf_dir):
         from graphchi_cpp_spark.cf.als_ml import als_ml

@@ -1,0 +1,165 @@
+"""AdPredictor (T1) — Bayesian online CTR learning (Graepel et al. 2010).
+
+Reference: ``toolkits/classification/adpredictor.cpp:24-28,158,220`` —
+message passing on the feature↔impression bipartite graph: each feature
+carries a Gaussian weight N(μ, σ²); per impression the label's truncated-
+Gaussian message updates every participating feature.
+
+**Documented BSP deviation** (same family as M3): the reference streams
+impressions sequentially, updating weights in place. Here each sweep
+computes all impression messages against the CURRENT weights and applies
+the per-feature AVERAGE update (damped EP / parallel message passing) —
+same fixed-point family, different trajectory; tests assert calibration
+(separation of positive/negative predictions), not per-step equality.
+
+Everything is JVM-side expressions: Φ and the truncated-Gaussian
+correction v(t)=φ(t)/Φ(t) are built from an Abramowitz-Stegun erf
+approximation (|err| < 1.5e-7) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BETA = 1.0  # prior noise, reference default
+
+
+def _erf(x: Column) -> Column:
+    """Abramowitz-Stegun 7.1.26 polynomial erf, extended to negatives."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592,
+        -0.284496736,
+        1.421413741,
+        -1.453152027,
+        1.061405429,
+    )
+    p = 0.3275911
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(p) * ax)
+    poly = (
+        F.lit(a1) * t
+        + F.lit(a2) * F.pow(t, 2)
+        + F.lit(a3) * F.pow(t, 3)
+        + F.lit(a4) * F.pow(t, 4)
+        + F.lit(a5) * F.pow(t, 5)
+    )
+    e = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.when(x >= 0, e).otherwise(-e)
+
+
+def _phi_cdf(x: Column) -> Column:
+    return F.lit(0.5) * (F.lit(1.0) + _erf(x / F.lit(math.sqrt(2.0))))
+
+
+def _phi_pdf(x: Column) -> Column:
+    return F.exp(-x * x / F.lit(2.0)) / F.lit(math.sqrt(2.0 * math.pi))
+
+
+def event_impressions(events: DataFrame) -> DataFrame:
+    """Deterministic impressions from the events table: label = purchase,
+    features = [user bucket, hour-of-day, value bucket] (disjoint id
+    ranges)."""
+    hour_us = 3_600_000_000
+    return events.select(
+        F.col("event_id").alias("impression_id"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.array(
+            F.pmod(F.col("user_id"), F.lit(50)),
+            F.lit(50) + F.pmod(F.expr(f"(ts div 1000) div {hour_us}"), F.lit(24)),
+            F.lit(100)
+            + F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)),
+        ).alias("features"),
+    )
+
+
+def adpredictor(
+    impressions: DataFrame,
+    sweeps: int = 3,
+    beta: float = BETA,
+    damping: float = 1.0,
+) -> DataFrame:
+    """Train; returns feature weights (feature, mu, sigma2).
+
+    ``impressions``: (impression_id, label∈{0,1}, features array<long>).
+    """
+    fi = (
+        impressions.select(
+            "impression_id",
+            (F.col("label") * 2 - 1).cast("double").alias("y"),
+            F.explode("features").alias("feature"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    weights = (
+        fi.select("feature")
+        .distinct()
+        .select("feature", F.lit(0.0).alias("mu"), F.lit(1.0).alias("sigma2"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(sweeps):
+        j = fi.join(F.broadcast(weights), "feature")
+        totals = j.groupBy("impression_id", "y").agg(
+            F.sum("mu").alias("S_mu"),
+            (F.sum("sigma2") + F.lit(beta * beta)).alias("S_var"),
+        )
+        t = (F.col("y") * F.col("S_mu")) / F.sqrt(F.col("S_var"))
+        totals = totals.select(
+            "impression_id",
+            "y",
+            "S_mu",
+            "S_var",
+            (_phi_pdf(t) / F.greatest(_phi_cdf(t), F.lit(1e-12))).alias("v"),
+        ).withColumn(
+            "w", F.col("v") * (F.col("v") + (F.col("y") * F.col("S_mu")) / F.sqrt("S_var"))
+        ).drop("S_mu")
+        upd = (
+            fi.join(F.broadcast(weights), "feature")
+            .join(totals, ["impression_id", "y"])
+            .select(
+                "feature",
+                (
+                    F.col("y") * (F.col("sigma2") / F.sqrt("S_var")) * F.col("v")
+                ).alias("dmu"),
+                (
+                    F.lit(1.0)
+                    - (F.col("sigma2") / F.col("S_var")) * F.col("w")
+                ).alias("vfac"),
+            )
+            .groupBy("feature")
+            .agg(F.avg("dmu").alias("dmu"), F.avg("vfac").alias("vfac"))
+        )
+        weights = (
+            weights.join(upd, "feature", "left")
+            .select(
+                "feature",
+                (F.col("mu") + F.lit(damping) * F.coalesce("dmu", F.lit(0.0))).alias(
+                    "mu"
+                ),
+                (
+                    F.col("sigma2")
+                    * F.greatest(F.coalesce("vfac", F.lit(1.0)), F.lit(1e-6))
+                ).alias("sigma2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
+def predict_ctr(impressions: DataFrame, weights: DataFrame, beta: float = BETA) -> DataFrame:
+    """(impression_id, label, p) — Φ(Σμ / sqrt(β² + Σσ²))."""
+    fi = impressions.select(
+        "impression_id", "label", F.explode("features").alias("feature")
+    )
+    totals = (
+        fi.join(F.broadcast(weights), "feature")
+        .groupBy("impression_id", "label")
+        .agg(F.sum("mu").alias("S_mu"), (F.sum("sigma2") + beta * beta).alias("S_var"))
+    )
+    return totals.select(
+        "impression_id",
+        "label",
+        _phi_cdf(F.col("S_mu") / F.sqrt("S_var")).alias("p"),
+    )
