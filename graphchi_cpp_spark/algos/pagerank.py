@@ -35,7 +35,7 @@ def pagerank(
     graph: PropertyGraph,
     max_iter: int = 3,
     tol: float | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Returns (id, rank). Fixed-iteration when tol is None (matches the
     reference's ``niters`` mode); convergence-delta early stop (C3) when
@@ -74,24 +74,22 @@ def pagerank(
     )
     v.count()  # materialize both caches before the loop
 
+    lazy_states: list[DataFrame] = []  # supersteps deferred to one final job
     for it in range(max_iter):
         msgs = (
             edges.join(v.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.try_divide(F.col("rank"), F.col("outdeg"))).alias("_s"))
         )
-        nv = (
-            v.join(msgs, "id", "left")
-            .select(
-                "id",
-                "outdeg",
-                (
-                    F.lit(RESET) + F.lit(DAMPING) * F.coalesce("_s", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .cache()
+        nv = v.join(msgs, "id", "left").select(
+            "id",
+            "outdeg",
+            (
+                F.lit(RESET) + F.lit(DAMPING) * F.coalesce("_s", F.lit(0.0))
+            ).alias("rank"),
         )
         if tol is not None:
+            nv = nv.cache()
             delta = (
                 nv.join(v.select("id", F.col("rank").alias("_old")), "id")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("d"))
@@ -102,13 +100,20 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
         else:
-            nv.count()
-            v.unpersist()
+            # fixed-iteration mode: no per-superstep action — the chained
+            # supersteps collapse into ONE job at the final materialization
+            lazy_states.append(v)
             v = nv
-        if (it + 1) % max(checkpoint_every, 4) == 0:
-            # occasional lineage cut for long tol-driven runs
+        if checkpoint_every > 0 and (it + 1) % checkpoint_every == 0:
+            # lineage cut cadence, honored exactly as passed; the default
+            # (4) trades a slightly deeper plan for fewer materializations
             v = v.localCheckpoint(eager=True).repartition(p, "id").cache()
 
+    if tol is None:
+        v = v.cache()
+        v.count()  # one job runs the whole superstep chain
+        for d in lazy_states:
+            d.unpersist()
     edges.unpersist()
     return v.select("id", "rank")
 

@@ -203,6 +203,11 @@ class Pregel:
         """
         if self._agg is None or not self._cols:
             raise ValueError("Pregel needs at least one vertex column and agg_msgs")
+        if (tol is None) != (tol_col is None):
+            raise ValueError(
+                "tol and tol_col must be provided together (got "
+                f"tol={tol!r}, tol_col={tol_col!r})"
+            )
         need_src = self._to_dst is not None
         need_dst = self._to_src is not None
 
@@ -221,10 +226,34 @@ class Pregel:
             msg_edges = self.edges
             if use_frontier:
                 frontier = v.filter(F.col(ACTIVE_COL)).select("id")
-                # messages flow only out of last-superstep-changed vertices
-                msg_edges = self.edges.join(
-                    frontier.withColumnRenamed("id", "src"), "src", "left_semi"
-                )
+                # Messages flow only out of last-superstep-changed vertices.
+                # The SENDER side depends on direction: to_dst messages are
+                # sent by the src vertex, to_src messages by the dst vertex —
+                # filter edges by the active sender(s), not blindly by src.
+                if self._to_dst is not None and self._to_src is not None:
+                    fs = frontier.select(
+                        F.col("id").alias("src"), F.lit(True).alias("_f_src")
+                    )
+                    fd = frontier.select(
+                        F.col("id").alias("dst"), F.lit(True).alias("_f_dst")
+                    )
+                    msg_edges = (
+                        self.edges.join(fs, "src", "left")
+                        .join(fd, "dst", "left")
+                        .filter(
+                            F.col("_f_src").isNotNull()
+                            | F.col("_f_dst").isNotNull()
+                        )
+                        .drop("_f_src", "_f_dst")
+                    )
+                elif self._to_src is not None:
+                    msg_edges = self.edges.join(
+                        frontier.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                    )
+                else:
+                    msg_edges = self.edges.join(
+                        frontier.withColumnRenamed("id", "src"), "src", "left_semi"
+                    )
             msgs = aggregate_messages(
                 msg_edges,
                 v,

@@ -59,6 +59,51 @@ def test_gas_wcc_with_signal(spark):
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
 
 
+def test_gas_out_direction_with_signal(spark):
+    """Frontier + gather_direction='out': the message SENDER is the dst
+    vertex, so frontier filtering must keep edges whose dst is active
+    (regression: filtering by active src starves inactive receivers and
+    stalls propagation — ADVICE r1).
+
+    Chain 1→2→3 with labels (5, 6, 0): vertex 1 is inactive after iter 1
+    (min(5,6)=5 unchanged) but must still receive 2's new label 0 at
+    iter 2 once 2 changes.
+    """
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    g = PropertyGraph.from_edges(edges)
+    labels = run_gas(
+        g,
+        vertex_col="label",
+        initial=F.when(F.col("id") == 1, 5)
+        .when(F.col("id") == 2, 6)
+        .otherwise(0)
+        .cast("long"),
+        gather=F.col("dst.label"),
+        sum_agg=F.min(msg()),
+        apply=F.least(F.col("label"), F.coalesce(msg(), F.col("label"))),
+        gather_direction="out",
+        signal_condition=F.col("label") < old("label"),
+        num_iterations=20,
+    )
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_pregel_tol_without_tol_col_raises(spark):
+    from graphchi_cpp_spark.pregel import Pregel
+
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    g = PropertyGraph.from_edges(edges)
+    p = (
+        Pregel(g.edges, g.vertices)
+        .with_vertex_column("x", F.lit(1.0), F.coalesce(msg(), F.col("x")))
+        .send_msg_to_dst(src("x"))
+        .agg_msgs(F.sum(msg()))
+    )
+    with pytest.raises(ValueError, match="tol"):
+        p.run(max_iter=2, tol=0.01)
+
+
 def test_hourly_event_stats_vs_duckdb(spark, sf_dir, duck):
     ev = load_table(spark, sf_dir, "events")
     assert_df_matches_oracle(
