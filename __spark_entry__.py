@@ -133,7 +133,7 @@ def _register_ops():
 
 
 def _register_graph_algos():
-    from graphchi_cpp_spark.algos.kcores import kcores
+    from graphchi_cpp_spark.algos.kcores import kcores, kcores_sql
     from graphchi_cpp_spark.algos.label_propagation import lpa_communities, lpa_sql
     from graphchi_cpp_spark.algos.percolation import (
         bond_percolation,
@@ -167,7 +167,9 @@ def _register_graph_algos():
         # orientation-invariant so the id-oriented oracle matches
         return triangle_count(_cosupply_graph(spark, sf_dir), orient="degree")
 
-    @query("kcores")  # iterative peeling — not single-SQL-expressible
+    # h-index fixpoint both sides; unroll count covers convergence at
+    # sf0.01 with margin (extra iterations are identity at the fixpoint)
+    @query("kcores", kcores_sql(COSUPPLY_EDGES_SQL, iterations=24))
     def q_kcores(spark, sf_dir):
         return kcores(_cosupply_graph(spark, sf_dir))
 
@@ -436,8 +438,17 @@ def _register_advanced_algos():
     def q_scc(spark, sf_dir):
         return strongly_connected_components(_orderflow(spark, sf_dir))
 
-    @query("msf")  # iterative contraction — rows-only check (tests verify
-    # the forest against a Kruskal reference implementation)
+    from graphchi_cpp_spark.algos.msf import msf_sql
+
+    # the (w, src, dst) total order makes the forest unique, so the
+    # unrolled-Borůvka oracle and the Spark contraction loop must agree
+    # edge-for-edge (tests additionally cross-check against Kruskal)
+    _MSF_EDGES_SQL = (
+        "SELECT src, dst, CAST((src * 7 + dst * 13) % 97 + 1 AS DOUBLE) "
+        f"AS weight FROM ({ORDERFLOW_EDGES_SQL})"
+    )
+
+    @query("msf", msf_sql(_MSF_EDGES_SQL))
     def q_msf(spark, sf_dir):
         g = _orderflow(spark, sf_dir)
         e = g.edges.select(
@@ -519,7 +530,20 @@ def _register_parsers_streaming():
         _, mapping = densify_ids(bipartite_edges(spark, sf_dir))
         return mapping.select("orig", "dense_id")
 
-    @query("streaming_pagerank")  # evolving-graph trace — rows-only check
+    from graphchi_cpp_spark.streaming.ingest import streaming_pagerank_sql
+
+    # stage s sees base (pmod 0) plus batches 1..s — the pmod classes are
+    # disjoint, so the cumulative deduped union is a simple <= filter
+    _STREAM_STAGES = [
+        f"SELECT DISTINCT src, dst FROM ({ORDERFLOW_EDGES_SQL}) "
+        f"WHERE (src + dst) % 4 <= {s}"
+        for s in (1, 2, 3)
+    ]
+
+    @query(
+        "streaming_pagerank",
+        streaming_pagerank_sql(_STREAM_STAGES, supersteps_per_batch=3),
+    )
     def q_streaming_pagerank(spark, sf_dir):
         from graphchi_cpp_spark.streaming.ingest import (
             DynamicGraph,
@@ -581,17 +605,35 @@ def _register_ml_extras():
             "iter int, train_rmse double",
         )
 
-    @query("seeded_label_propagation")  # iterative vector prop — rows-only
+    from graphchi_cpp_spark.algos.label_propagation import (
+        seeded_label_propagation_sql,
+    )
+    from graphchi_cpp_spark.datasets import COSUPPLY_EDGES_SQL
+
+    @query(
+        "seeded_label_propagation",
+        seeded_label_propagation_sql(
+            COSUPPLY_EDGES_SQL,
+            # verts is defined by the oracle before this CTE, so seeds can
+            # reuse it — same id universe as g.vertices on the Spark side
+            "SELECT id, CAST(id % 3 AS INT) AS label FROM verts WHERE id % 20 = 0",
+            num_labels=3,
+            alpha=0.15,
+            iterations=5,
+        ),
+    )
     def q_slp(spark, sf_dir):
         g = PropertyGraph.from_edges(cosupply_edges(spark, sf_dir))
         seeds = g.vertices.filter(F.col("id") % 20 == 0).select(
             "id", F.pmod(F.col("id"), F.lit(3)).cast("int").alias("label")
         )
         out = seeded_label_propagation(g, seeds, num_labels=3, max_iter=5)
+        # argmax over rounded probs — cross-engine-stable on near-ties
+        pr = F.transform(F.col("probs"), lambda x: F.round(x, 4))
         return out.select(
             "id",
-            "label",
-            F.round(F.array_max("probs"), 4).alias("confidence"),
+            (F.array_position(pr, F.array_max(pr)) - 1).cast("int").alias("label"),
+            F.array_max(pr).alias("confidence"),
         )
 
 
@@ -699,7 +741,9 @@ def _register_windows():
         seeds = g.vertices.filter(F.col("id") % 200 == 0)
         return khop_subgraph(g, seeds, 1).select("src", "dst")
 
-    @query("adpredictor_weights")  # parallel EP sweeps — rows-only check
+    from graphchi_cpp_spark.cf.adpredictor import adpredictor_sql
+
+    @query("adpredictor_weights", adpredictor_sql(sweeps=2))
     def q_adpredictor(spark, sf_dir):
         from graphchi_cpp_spark.cf.adpredictor import adpredictor, event_impressions
 

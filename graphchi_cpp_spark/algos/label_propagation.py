@@ -184,3 +184,73 @@ def seeded_label_propagation(
 def _normalize(arr):
     total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
     return F.transform(arr, lambda x: F.try_divide(x, total))
+
+
+def seeded_label_propagation_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    num_labels: int,
+    alpha: float = 0.15,
+    iterations: int = 10,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle: the G7 probability-vector propagation unrolled in
+    long form (id, pos, p) — element-wise array math becomes plain
+    grouped sums. ``seeds_sql`` yields (id, label). Output matches the
+    driver query shape: (id, label = argmin pos among max-prob entries —
+    Spark's first-index-of-max — and confidence = round(max prob)).
+    """
+    L = num_labels
+    ctes = [
+        f"base_e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM base_e "
+        "UNION SELECT dst, src FROM base_e)",
+        "verts AS (SELECT DISTINCT src AS id FROM base_e "
+        "UNION SELECT dst FROM base_e)",
+        f"seeds AS MATERIALIZED ({seeds_sql})",
+        f"""s0 AS MATERIALIZED (
+          SELECT v.id, CAST(p.pos AS INT) AS pos,
+                 (s.id IS NOT NULL) AS is_seed,
+                 CASE WHEN s.id IS NULL THEN 1.0 / {L}
+                      WHEN s.label = p.pos THEN 1.0 ELSE 0.0 END AS p
+          FROM verts v
+          CROSS JOIN (SELECT unnest(range({L})) AS pos) p
+          LEFT JOIN seeds s ON s.id = v.id
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+              SELECT e.dst AS id, s.pos, sum(s.p) AS sp
+              FROM sym e JOIN s{i - 1} s ON s.id = e.src
+              GROUP BY e.dst, s.pos
+            )"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+              SELECT id, pos, is_seed,
+                     CASE WHEN is_seed THEN p0
+                          ELSE q / (sum(q) OVER (PARTITION BY id)) END AS p
+              FROM (
+                SELECT b.id, b.pos, b.is_seed, b.p AS p0,
+                       {alpha} * b.p + {1.0 - alpha} * coalesce(m.sp, 0.0) AS q
+                FROM s0 b LEFT JOIN m{i} m ON m.id = b.id AND m.pos = b.pos
+              )
+            )"""
+        )
+    # argmax over ROUNDED probs: full-precision argmax is not cross-engine
+    # stable on near-tied vectors (sum-order ULPs); the rounded values are
+    # the comparable contract, so the label derives from them on BOTH sides
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id,
+               CAST(min(CASE WHEN pr = mx THEN pos END) AS INT) AS label,
+               round(max(pr), {ndigits}) AS confidence
+        FROM (
+          SELECT id, pos, round(p, {ndigits}) AS pr,
+                 max(round(p, {ndigits})) OVER (PARTITION BY id) AS mx
+          FROM s{iterations}
+        ) GROUP BY id"""
+    )

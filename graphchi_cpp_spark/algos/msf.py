@@ -186,6 +186,99 @@ def minimum_spanning_forest(
     return out.dropDuplicates(["src", "dst"])
 
 
-# MSF has no single-SQL oracle (iterative contraction); tests verify the
-# forest against a driver-side Kruskal reference on collected edges, and
-# the driver records a rows-only check for the msf query.
+def msf_sql(weighted_edges_sql: str, rounds: int = 12, jumps: int = 12) -> str:
+    """DuckDB oracle: Borůvka unrolled. Under the strict total edge order
+    (w, src, dst) the minimum spanning forest is UNIQUE, so the oracle only
+    needs the same order, not the same execution schedule as the Spark
+    side. ``weighted_edges_sql`` yields (src, dst, weight).
+
+    Per round: per-component minimum cross edge by global edge rank
+    (row_number over (w, src, dst) — arg_min needs a scalar key), then the
+    chosen-edge pointer graph (one 2-cycle per merge group, broken at the
+    smaller id) is contracted by ``jumps`` pointer-halving steps
+    (p ← p∘p), covering merge-chain depth 2^jumps. Rounds at least halve
+    the component count, so rounds=12 covers 4096 components; extra
+    rounds/jumps are identity.
+    """
+    ctes = [
+        f"we AS MATERIALIZED ({weighted_edges_sql})",
+        # canonical undirected form, min weight per pair (matches the
+        # Spark side's symmetrize+min)
+        """und AS MATERIALIZED (
+          SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+                 min(weight) AS w
+          FROM we WHERE src <> dst GROUP BY 1, 2
+        )""",
+        """er AS MATERIALIZED (
+          SELECT src, dst, w,
+                 row_number() OVER (ORDER BY w, src, dst) AS rk
+          FROM und
+        )""",
+        """comp0 AS MATERIALIZED (
+          SELECT id, id AS comp FROM (
+            SELECT DISTINCT src AS id FROM und UNION SELECT dst FROM und
+          )
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"comp{r - 1}"
+        ctes.append(
+            f"""lab{r} AS MATERIALIZED (
+              SELECT e.rk, e.src, e.dst, e.w, cs.comp AS ca, cd.comp AS cb
+              FROM er e
+              JOIN {p} cs ON cs.id = e.src
+              JOIN {p} cd ON cd.id = e.dst
+              WHERE cs.comp <> cd.comp
+            )"""
+        )
+        ctes.append(
+            f"""ch{r} AS MATERIALIZED (
+              SELECT comp, arg_min(src, rk) AS src, arg_min(dst, rk) AS dst,
+                     arg_min(w, rk) AS w,
+                     arg_min(ea, rk) AS ea, arg_min(eb, rk) AS eb
+              FROM (
+                SELECT ca AS comp, rk, src, dst, w, ca AS ea, cb AS eb
+                FROM lab{r}
+                UNION ALL
+                SELECT cb, rk, src, dst, w, ca, cb FROM lab{r}
+              ) GROUP BY comp
+            )"""
+        )
+        ctes.append(
+            f"""po{r} AS MATERIALIZED (
+              SELECT comp,
+                     CASE WHEN comp = ea THEN eb ELSE ea END AS other
+              FROM ch{r}
+            )"""
+        )
+        # root the one 2-cycle per merge group at its smaller endpoint
+        ctes.append(
+            f"""p{r}_0 AS MATERIALIZED (
+              SELECT a.comp,
+                     CASE WHEN b.other = a.comp AND a.comp < a.other
+                          THEN a.comp ELSE a.other END AS p
+              FROM po{r} a LEFT JOIN po{r} b ON b.comp = a.other
+            )"""
+        )
+        for j in range(1, jumps + 1):
+            ctes.append(
+                f"""p{r}_{j} AS MATERIALIZED (
+                  SELECT a.comp, coalesce(b.p, a.p) AS p
+                  FROM p{r}_{j - 1} a LEFT JOIN p{r}_{j - 1} b ON b.comp = a.p
+                )"""
+            )
+        ctes.append(
+            f"""comp{r} AS MATERIALIZED (
+              SELECT c.id, coalesce(p.p, c.comp) AS comp
+              FROM {p} c LEFT JOIN p{r}_{jumps} p ON p.comp = c.comp
+            )"""
+        )
+    forest_union = "\nUNION ALL\n".join(
+        f"SELECT src, dst, w FROM ch{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT DISTINCT src, dst, w AS weight FROM ({forest_union})"""
+    )

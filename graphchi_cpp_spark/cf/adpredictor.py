@@ -148,6 +148,98 @@ def adpredictor(
     return weights
 
 
+EVENT_IMPRESSIONS_SQL = """
+    SELECT event_id AS impression_id,
+           CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                AS DOUBLE) AS y,
+           unnest([
+             user_id % 50,
+             50 + (epoch_us(ts) // 3600000000) % 24,
+             100 + least(CAST(floor("value" / 50) AS BIGINT), 9)
+           ]) AS feature
+    FROM events
+"""
+
+
+def adpredictor_sql(
+    fi_sql: str = EVENT_IMPRESSIONS_SQL,
+    sweeps: int = 3,
+    beta: float = BETA,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle: the parallel-EP sweeps unrolled, with the SAME
+    Abramowitz-Stegun erf polynomial as the Spark side (not DuckDB's
+    built-in erf — the approximation error 1.5e-7 could shift the 4th
+    rounded digit). ``fi_sql`` yields (impression_id, y∈{-1,1}, feature)
+    long-form impressions."""
+    b2 = beta * beta
+    ctes = [
+        f"fi AS MATERIALIZED ({fi_sql})",
+        "w0 AS MATERIALIZED (SELECT DISTINCT feature, 0.0 AS mu, "
+        "1.0 AS sigma2 FROM fi)",
+    ]
+    for s in range(1, sweeps + 1):
+        p = f"w{s - 1}"
+        # lateral column aliases: each expression may reference the ones
+        # before it, mirroring the Spark expression chain step by step
+        ctes.append(
+            f"""tot{s} AS MATERIALIZED (
+              SELECT f.impression_id, f.y,
+                     sum(w.mu) AS s_mu, sum(w.sigma2) + {b2} AS s_var
+              FROM fi f JOIN {p} w ON w.feature = f.feature
+              GROUP BY f.impression_id, f.y
+            )"""
+        )
+        ctes.append(
+            f"""aug{s} AS MATERIALIZED (
+              SELECT impression_id, y, s_var,
+                     y * s_mu / sqrt(s_var) AS t_val,
+                     t_val / sqrt(2.0) AS x,
+                     abs(x) AS ax,
+                     1.0 / (1.0 + 0.3275911 * ax) AS tt,
+                     0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                       + 1.421413741 * pow(tt, 3) - 1.453152027 * pow(tt, 4)
+                       + 1.061405429 * pow(tt, 5) AS poly,
+                     1.0 - poly * exp(-ax * ax) AS erf_abs,
+                     CASE WHEN x >= 0 THEN erf_abs ELSE -erf_abs END AS erf_x,
+                     0.5 * (1.0 + erf_x) AS cdf,
+                     exp(-t_val * t_val / 2.0) / sqrt(2.0 * pi()) AS pdf,
+                     pdf / greatest(cdf, 1e-12) AS v,
+                     v * (v + t_val) AS w_corr
+              FROM tot{s}
+            )"""
+        )
+        ctes.append(
+            f"""upd{s} AS MATERIALIZED (
+              SELECT f.feature,
+                     avg(f.y * (w.sigma2 / sqrt(a.s_var)) * a.v) AS dmu,
+                     avg(1.0 - (w.sigma2 / a.s_var) * a.w_corr) AS vfac
+              FROM fi f
+              JOIN {p} w ON w.feature = f.feature
+              JOIN aug{s} a
+                ON a.impression_id = f.impression_id AND a.y = f.y
+              GROUP BY f.feature
+            )"""
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+              SELECT w.feature,
+                     w.mu + coalesce(u.dmu, 0.0) AS mu,
+                     w.sigma2 * greatest(coalesce(u.vfac, 1.0), 0.000001)
+                       AS sigma2
+              FROM {p} w LEFT JOIN upd{s} u ON u.feature = w.feature
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT feature, round(mu, {ndigits}) AS mu,
+               round(sigma2, {ndigits}) AS sigma2
+        FROM w{sweeps}"""
+    )
+
+
 def predict_ctr(impressions: DataFrame, weights: DataFrame, beta: float = BETA) -> DataFrame:
     """(impression_id, label, p) — Φ(Σμ / sqrt(β² + Σσ²))."""
     fi = impressions.select(

@@ -150,3 +150,54 @@ def run_streaming_pagerank(
             )
         ranks = v.select("id", "rank").localCheckpoint(eager=True)
     return ranks
+
+
+def streaming_pagerank_sql(
+    stage_edges_sqls: list[str],
+    supersteps_per_batch: int = 3,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for ``run_streaming_pagerank``: per batch stage s the
+    visible edge set is ``stage_edges_sqls[s]`` (the caller encodes the
+    cumulative base ∪ batches union, deduped); each stage runs
+    ``supersteps_per_batch`` power-iteration steps warm-started from the
+    previous stage's ranks (new vertices start at 1.0)."""
+    ctes = []
+    n = len(stage_edges_sqls)
+    for s, esql in enumerate(stage_edges_sqls, start=1):
+        ctes += [
+            f"e{s} AS MATERIALIZED ({esql})",
+            f"v{s} AS MATERIALIZED (SELECT DISTINCT src AS id FROM e{s} "
+            f"UNION SELECT dst FROM e{s})",
+            f"od{s} AS MATERIALIZED (SELECT src AS id, "
+            f"CAST(count(*) AS DOUBLE) AS od FROM e{s} GROUP BY 1)",
+        ]
+        if s == 1:
+            ctes.append(f"r1_0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM v1)")
+        else:
+            ctes.append(
+                f"""r{s}_0 AS MATERIALIZED (
+                  SELECT v.id, coalesce(p.rank, 1.0) AS rank
+                  FROM v{s} v
+                  LEFT JOIN r{s - 1}_{supersteps_per_batch} p ON p.id = v.id
+                )"""
+            )
+        for i in range(1, supersteps_per_batch + 1):
+            ctes.append(
+                f"""r{s}_{i} AS MATERIALIZED (
+                  SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank
+                  FROM v{s} v LEFT JOIN (
+                    SELECT e.dst AS id, sum(r.rank / o.od) AS s
+                    FROM e{s} e
+                    JOIN r{s}_{i - 1} r ON r.id = e.src
+                    JOIN od{s} o ON o.id = e.src
+                    GROUP BY e.dst
+                  ) m ON m.id = v.id
+                )"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, {ndigits}) AS rank "
+        f"FROM r{n}_{supersteps_per_batch}"
+    )

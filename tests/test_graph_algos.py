@@ -72,6 +72,24 @@ def test_kcores_tiny(spark):
     )
     cores = {r["id"]: r["core"] for r in kcores(g).collect()}
     assert cores == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1, 20: 0}
+    peel = {r["id"]: r["core"] for r in kcores(g, method="peel").collect()}
+    assert peel == cores
+
+
+def test_kcores_hindex_equals_peel_random(spark):
+    # deterministic pseudo-random graph: h-index fixpoint must agree with
+    # literal peeling (they share the output contract)
+    from graphchi_cpp_spark.graph import PropertyGraph as PG
+
+    g = PG.from_edges(
+        spark.range(300).select(
+            (F.col("id") * 37 % 80).alias("src"),
+            (F.col("id") * 61 % 80 + F.col("id") % 7).alias("dst"),
+        )
+    )
+    a = {r["id"]: r["core"] for r in kcores(g, method="hindex").collect()}
+    b = {r["id"]: r["core"] for r in kcores(g, method="peel").collect()}
+    assert a == b
 
 
 def test_lpa_tiny_converges(spark):
