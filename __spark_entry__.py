@@ -339,7 +339,6 @@ def _register_cf():
 
 def _register_pipeline_ops():
     from graphchi_cpp_spark.operators.dedup import (
-        embedding_near_dups,
         exact_duplicates,
         exact_duplicates_sql,
         lsh_candidates,
@@ -352,9 +351,10 @@ def _register_pipeline_ops():
     from graphchi_cpp_spark.operators.similarity import (
         cosine_topk,
         cosine_topk_sql,
-        embedding_near_dups_sql,
         lsh_cosine_topk,
         lsh_cosine_topk_sql,
+        lsh_near_dups,
+        lsh_near_dups_sql,
     )
     from graphchi_cpp_spark.operators.text import (
         fingerprints,
@@ -405,9 +405,12 @@ def _register_pipeline_ops():
     def q_simhash(spark, sf_dir):
         return simhash(_docs(spark, sf_dir))
 
-    @query("embedding_near_dups", embedding_near_dups_sql(0.45))
+    # the LSH-bucketed path is the registered contract (no crossJoin in
+    # the plan — scale path); brute-force embedding_near_dups stays as
+    # the exact verifier in tests/test_pipeline_ops.py
+    @query("embedding_near_dups", lsh_near_dups_sql(0.45))
     def q_emb_near_dups(spark, sf_dir):
-        return embedding_near_dups(_emb(spark, sf_dir), threshold=0.45)
+        return lsh_near_dups(_emb(spark, sf_dir), threshold=0.45)
 
     @query("ann_cosine_topk", cosine_topk_sql("vec_id % 20 = 0", k=5))
     def q_ann_brute(spark, sf_dir):

@@ -25,7 +25,7 @@ pair space is pruned to item_a < item_b.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from graphchi_cpp_spark.operators.toplist import top_k_per_key
 
@@ -37,17 +37,35 @@ def item_similarity(
     metric: str = "jaccard",
     alpha: float = 0.5,
     min_common: int = 1,
+    max_user_degree: int | None = None,
 ) -> DataFrame:
     """(item_a, item_b, sim) for item_a < item_b (plus both directions for
     asymmetric metrics: prob / asym_cosine emit (a,b) meaning sim(a→b)).
 
     ``ratings`` needs columns (user, item); rating values are ignored —
     the reference treats the matrix as binary for these metrics.
+
+    ``max_user_degree``: power-user cap — the user self-join explodes with
+    user-degree², so a user with 10⁶ items would alone produce 10¹² pairs.
+    When set, each user keeps at most this many items (deterministic
+    hash-ordered sample), and degrees/similarities are computed on the
+    CAPPED matrix so every metric stays internally consistent. This plays
+    the memory-bounding role of the reference's pivot batching
+    (``itemcf.cpp:206``), trading a documented approximation for a hard
+    bound on join fan-out.
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
+    ui = ratings.select("user", "item").distinct()
+    if max_user_degree is not None:
+        w = Window.partitionBy("user").orderBy(F.xxhash64("user", "item"), "item")
+        ui = (
+            ui.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_user_degree)
+            .drop("_rn")
+        )
     # materialized once: referenced by degrees AND both join sides
-    ui = ratings.select("user", "item").distinct().localCheckpoint(eager=True)
+    ui = ui.localCheckpoint(eager=True)
     item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
     user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
     # degree tables are O(#entities); broadcast below a size guard

@@ -54,20 +54,29 @@ def sgd(
     iterations: int = 5,
     gamma: float = 0.01,
     lam: float = 0.065,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
     variant: str = "sgd",
+    target_block_rows: int = 50_000,
 ) -> tuple[DataFrame, DataFrame, list[dict]]:
     """Returns (user_factors, item_factors, history). variant ∈
     {'sgd','biassgd','svdpp'} (biases folded into factor slots d and d+1
     with companion 1-entries, the standard trick; svdpp additionally
     augments the user vector with implicit feedback Σ_{j∈N(u)} y_j /
     sqrt|N(u)| maintained per-user inside the block pass —
-    ``svdpp.cpp:160``)."""
+    ``svdpp.cpp:160``).
+
+    ``num_blocks=None`` scales with the data: ~``target_block_rows``
+    ratings per block (floor 8 so small inputs still parallelize, cap
+    4096). More blocks = more parallelism but noisier item-factor
+    averaging — the documented BSP trade against Hogwild."""
     if variant not in ("sgd", "biassgd", "svdpp"):
         raise ValueError(variant)
     use_bias = variant in ("biassgd", "svdpp")
     use_implicit = variant == "svdpp"
-    dd = d + 2 if use_bias else d  # [factors..., b, 1] x [factors..., 1, b]
+
+    if num_blocks is None:
+        n = ratings.count()
+        num_blocks = max(8, min(4096, -(-n // target_block_rows)))
 
     r = ratings.select(
         "user", "item", F.col("rating").cast("double"),
@@ -105,20 +114,33 @@ def sgd(
                 for uid, grp in pdf.groupby("user"):
                     vecs = np.vstack(grp["_if"].to_numpy())[:, :d]
                     implicit[uid] = vecs.sum(axis=0) / np.sqrt(len(grp))
-            for row in pdf.itertuples(index=False):
-                u = users.setdefault(row.user, np.array(row._4, dtype=float))
-                v = items.setdefault(row.item, np.array(row._5, dtype=float))
+            # column arrays + index loop: the pass is inherently sequential
+            # (each update reads the previous one), but numpy column access
+            # beats itertuples' namedtuple construction several-fold
+            uids = pdf["user"].to_numpy()
+            iids = pdf["item"].to_numpy()
+            rts = pdf["rating"].to_numpy()
+            ufs = pdf["_uf"].to_numpy()
+            ifs = pdf["_if"].to_numpy()
+            for i in range(len(uids)):
+                uid, iid = uids[i], iids[i]
+                u = users.get(uid)
+                if u is None:
+                    u = users[uid] = np.array(ufs[i], dtype=float)
+                v = items.get(iid)
+                if v is None:
+                    v = items[iid] = np.array(ifs[i], dtype=float)
                 if use_implicit:
                     u_eff = u.copy()
-                    u_eff[:d] = u_eff[:d] + implicit[row.user]
+                    u_eff[:d] = u_eff[:d] + implicit[uid]
                     pred = mu + u_eff @ v
                 else:
                     pred = mu + u @ v if use_bias else u @ v
-                e = row.rating - pred
+                e = rts[i] - pred
                 if use_bias:
                     gu, gv = u[:d], v[:d]
                     bu, bi = u[d], v[d + 1]
-                    gu_eff = gu + implicit[row.user] if use_implicit else gu
+                    gu_eff = gu + implicit[uid] if use_implicit else gu
                     gu_new = gu + gamma * (e * gv - lam * gu)
                     gv_new = gv + gamma * (e * gu_eff - lam * gv)
                     bu += gamma * (e - lam * bu)
@@ -129,7 +151,7 @@ def sgd(
                     u_new = u + gamma * (e * v - lam * u)
                     v_new = v + gamma * (e * u - lam * v)
                     u[:], v[:] = u_new, v_new
-                item_upd[row.item] = item_upd.get(row.item, 0) + 1
+                item_upd[iid] = item_upd.get(iid, 0) + 1
             out = [("user", k, list(map(float, vec)), 1) for k, vec in users.items()]
             out += [
                 ("item", k, list(map(float, vec)), item_upd[k])

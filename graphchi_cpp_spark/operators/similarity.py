@@ -179,6 +179,106 @@ def lsh_cosine_topk(
     return top_k_per_key(scored, "query_id", "cosine", k, tiebreak_col="vec_id")
 
 
+def lsh_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    num_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, cosine) near-duplicate pairs via sign-LSH bucketing —
+    the SCALE path for embedding dedup: candidates are pairs colliding in
+    ANY band (one explode + one equi-join on (band, bucket), output-
+    bounded), then exact cosine keeps pairs ≥ threshold. No crossJoin
+    anywhere in the plan. Recall < 1 by construction (pairs colliding in
+    no band are missed — OR-amplified banding semantics, documented);
+    ``dedup.embedding_near_dups`` is the exact brute-force verifier.
+    """
+    buckets = lsh_sign_buckets(
+        embeddings, num_planes, num_bands, id_col, vec_col, dim
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = buckets.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def lsh_near_dups_sql(
+    threshold: float,
+    num_planes: int = 4,
+    num_bands: int = 8,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for ``lsh_near_dups`` — the deterministic hyperplanes
+    reproduce the candidate sets bit-identically."""
+    band_bucket_exprs = []
+    for band in range(num_bands):
+        bits = []
+        for p in range(num_planes):
+            plane = _hyperplane(band * num_planes + p, dim)
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        band_bucket_exprs.append(
+            f"{{'band': {band}, 'bucket': {' + '.join(bits)}}}"
+        )
+    bucket_rows = ", ".join(band_bucket_exprs)
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM {table}
+        ),
+        buckets AS MATERIALIZED (
+            SELECT id, bb['band'] AS band, bb['bucket'] AS bucket
+            FROM base, unnest([{bucket_rows}]) AS t(bb)
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM buckets a
+            JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket
+                           AND a.id < b.id
+        )
+        SELECT c.id_a, c.id_b,
+               round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6) AS cosine
+        FROM cand c
+        JOIN base va ON va.id = c.id_a
+        JOIN base vb ON vb.id = c.id_b
+        WHERE list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm) >= {threshold}
+    """
+
+
 def embedding_near_dups_sql(threshold: float, table: str = "embeddings") -> str:
     """DuckDB oracle for dedup.embedding_near_dups."""
     return f"""

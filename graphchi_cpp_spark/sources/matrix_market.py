@@ -58,30 +58,88 @@ def kfold_split(
     return ratings.filter(cond)
 
 
+def write_matrix_market_sharded(
+    df: DataFrame, dir_path: str, comment: str = ""
+) -> None:
+    """S8, the SCALE path: rows are formatted and written BY EXECUTORS as
+    sorted text part files (the reference's sharded sink analog,
+    ``io.hpp:162-249`` streams too — it never materializes the table).
+    The driver computes only three scalars for the size header and writes
+    a tiny ``header`` file next to the parts. Global order: orderBy
+    range-partitions, so lexicographic part order == row order."""
+    mx = df.agg(
+        F.max("user").alias("mu"),
+        F.max("item").alias("mi"),
+        F.count("*").alias("nnz"),
+    ).collect()[0]
+    (
+        df.orderBy("user", "item")
+        .select(
+            F.format_string(
+                "%d %d %s",
+                F.col("user") + 1,
+                F.col("item") + 1,
+                F.col("rating").cast("string"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(f"{dir_path}/body")
+    )
+    header = "%%MatrixMarket matrix coordinate real general\n"
+    if comment:
+        header += f"% {comment}\n"
+    header += f"{mx['mu'] + 1} {mx['mi'] + 1} {mx['nnz']}\n"
+    with open(f"{dir_path}/header", "w") as f:
+        f.write(header)
+
+
 def write_matrix_market(df: DataFrame, path: str, comment: str = "") -> None:
-    """S8: write (user, item, rating) as ONE Matrix Market coordinate
-    file — driver-side, like the reference's stdio writers (MM is an
-    interchange format; at scale persist parquet and export MM only for
-    hand-off). Deterministic row order (sorted by user, item)."""
-    n_rows = df.agg(F.max("user")).collect()[0][0] + 1
-    n_cols = df.agg(F.max("item")).collect()[0][0] + 1
-    rows = df.select("user", "item", "rating").orderBy("user", "item").collect()
-    with open(path, "w") as f:
-        f.write("%%MatrixMarket matrix coordinate real general\n")
-        if comment:
-            f.write(f"% {comment}\n")
-        f.write(f"{n_rows} {n_cols} {len(rows)}\n")
-        for r in rows:
-            f.write(f"{r['user'] + 1} {r['item'] + 1} {r['rating']}\n")
+    """S8: ONE Matrix Market coordinate file. Rows are formatted and
+    sorted on executors (write_matrix_market_sharded); the driver then
+    stream-concatenates the part FILES — it handles bytes, never rows
+    (the r1-flagged full collect is gone)."""
+    import glob
+    import shutil
+
+    tmp = path + ".mmparts"
+    write_matrix_market_sharded(df, tmp, comment)
+    with open(path, "w") as out:
+        with open(f"{tmp}/header") as hf:
+            shutil.copyfileobj(hf, out)
+        for part in sorted(glob.glob(f"{tmp}/body/part-*")):
+            with open(part) as pf:
+                shutil.copyfileobj(pf, out)
+    shutil.rmtree(tmp)
 
 
 def write_factors_mm(factors: DataFrame, path: str, id_col: str) -> None:
-    """S8: factor matrix (id, factors array<double>) → MM-style rows,
-    driver-side single file (reference MMOutputter_mat)."""
-    rows = factors.select(id_col, "factors").orderBy(id_col).collect()
-    d = len(rows[0]["factors"]) if rows else 0
+    """S8: factor matrix (id, factors array<double>) → MM-style rows
+    (reference MMOutputter_mat). Executor-side formatting + driver
+    byte-stream assembly, same pattern as write_matrix_market."""
+    import glob
+    import shutil
+
+    stats = factors.agg(
+        F.count("*").alias("n"),
+        F.max(F.size("factors")).alias("d"),
+    ).collect()[0]
+    tmp = path + ".mmparts"
+    (
+        factors.orderBy(id_col)
+        .select(
+            F.concat_ws(
+                " ",
+                F.col(id_col).cast("string"),
+                F.array_join(F.transform("factors", lambda x: x.cast("string")), " "),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(tmp)
+    )
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix array real general\n")
-        f.write(f"{len(rows)} {d}\n")
-        for r in rows:
-            f.write(f"{r[id_col]} " + " ".join(str(x) for x in r["factors"]) + "\n")
+        f.write(f"{stats['n']} {stats['d'] or 0}\n")
+        for part in sorted(glob.glob(f"{tmp}/part-*")):
+            with open(part) as pf:
+                shutil.copyfileobj(pf, f)
+    shutil.rmtree(tmp)

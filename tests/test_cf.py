@@ -44,6 +44,26 @@ def test_itemcf_jaccard_tiny(spark):
     assert sims[(10, 11)] == pytest.approx(2 / 3)
 
 
+def test_itemcf_power_user_cap(spark):
+    """Skewed fixture: one power user rating 40 items would alone emit
+    C(40,2)=780 pairs; the cap bounds their fan-out to C(10,2)=45 while
+    pairs among normal users are untouched (degrees are recomputed on the
+    capped matrix, so similarities stay internally consistent)."""
+    power = [(99, i) for i in range(40)]
+    normal = [(1, 100), (1, 101), (2, 100), (2, 101)]
+    r = spark.createDataFrame(
+        [(u, i, 5.0) for u, i in power + normal], ["user", "item", "rating"]
+    )
+    full = item_similarity(r, "jaccard").collect()
+    capped = item_similarity(r, "jaccard", max_user_degree=10).collect()
+    assert len(full) == 780 + 1  # power-user pairs + (100,101)
+    # power user contributes at most C(10,2) pairs after the cap
+    assert len(capped) <= 45 + 1
+    sims = {(x["item_a"], x["item_b"]): x["sim"] for x in capped}
+    # the normal-user pair is unaffected: items 100/101 co-rated by both
+    assert sims[(100, 101)] == pytest.approx(1.0)
+
+
 def test_itemcf_vs_duckdb(spark, sf_dir, duck):
     r = ratings(spark, sf_dir)
     for metric in ("jaccard", "cosine", "aa", "ra"):

@@ -163,6 +163,28 @@ def test_lsh_cosine_topk_recall(spark, sf_dir):
     assert recall > 0.5  # 8 bands x 4 planes OR-amplification
 
 
+def test_lsh_near_dups_subset_of_brute_force(spark, sf_dir):
+    """The registered LSH near-dup path must report a subset of the exact
+    brute-force pairs at the same threshold, with identical cosines —
+    brute force is the verifier (VERDICT r1 #5)."""
+    from graphchi_cpp_spark.operators.dedup import embedding_near_dups
+    from graphchi_cpp_spark.operators.similarity import lsh_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_near_dups(emb, threshold=0.45).collect()
+    }
+    assert set(approx) <= set(brute)
+    for pair, cos in approx.items():
+        assert cos == pytest.approx(brute[pair], abs=1e-6)
+    assert len(approx) >= 0.5 * len(brute)  # banding recall floor
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 30)
     feats = extract_features(media, dim=8)

@@ -93,6 +93,28 @@ def test_matrix_market_roundtrip(spark, tmpdir):
     assert {tuple(x) for x in back.collect()} == got
 
 
+def test_matrix_market_distributed_roundtrip_sf01(spark, tmpdir):
+    """sf0.1-scale round-trip (~600k rows): the writer formats rows on
+    executors and the driver only streams part-file bytes — no collect."""
+    import os
+
+    from graphchi_cpp_spark.datasets import ratings
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    r = ratings(spark, sf_dir)
+    out = os.path.join(tmpdir, "big.mm")
+    write_matrix_market(r, out, comment="sf0.1 ratings")
+    back = read_matrix_market(spark, out)
+    assert back.count() == r.count()
+    j = back.withColumnRenamed("rating", "r2").join(r, ["user", "item"])
+    mism = j.filter(F.abs(F.col("r2") - F.col("rating")) > 1e-9).count()
+    assert mism == 0
+
+
 def test_kfold_split(spark, sf_dir):
     from graphchi_cpp_spark.datasets import ratings
 
