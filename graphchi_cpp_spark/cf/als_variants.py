@@ -1,0 +1,294 @@
+"""ALS variants (M2): coordinate descent, sparse factors (CoSaMP), and
+time-aware tensor ALS.
+
+References:
+- ``toolkits/collaborative_filtering/als_coord.cpp:100`` — cyclic
+  coordinate descent (CCD): instead of the D×D Cholesky solve, each
+  coordinate of a vertex's factor vector is updated in turn against the
+  current residual; one sweep per half-step.
+- ``toolkits/collaborative_filtering/sparse_als.cpp:110`` +
+  ``cosamp.hpp`` — ALS where each local solve is replaced by CoSaMP,
+  yielding factor vectors with at most ``s`` nonzeros.
+- ``toolkits/collaborative_filtering/als_tensor.cpp:112`` — 3-mode tensor
+  factorization r(u,i,t) ≈ Σ_k U[u,k]·V[i,k]·T[t,k] over ``row col time
+  val`` Matrix Market input (the 4-column form ``io.hpp:252`` parses;
+  our reader exposes it as the ``ts`` column).
+
+All three reuse the engine split proven in ``cf/als.py``: JVM-side joins
+shape (group, rating, design-row) tuples, hash-block ``applyInPandas``
+batches thousands of tiny numpy solves per Arrow round-trip, RMSE stays
+in Spark expressions. Deterministic hash init → bit-identical reruns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from graphchi_cpp_spark.cf.als import (
+    LAMBDA_DEFAULT,
+    NUM_SOLVE_BLOCKS,
+    _init_factors,
+    predict,
+)
+
+
+def _out_schema(group_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(group_col, LongType()),
+            StructField("factors", ArrayType(DoubleType())),
+        ]
+    )
+
+
+def _grouped_update(
+    joined: DataFrame, group_col: str, fn
+) -> DataFrame:
+    """Run ``fn(A, b, x) -> new_x`` per entity, batched by hash block.
+    ``joined`` must carry (group_col, rating, _f design row, _x current
+    factors)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys, out = [], []
+        for key, grp in pdf.groupby(group_col, sort=True):
+            A = np.vstack(grp["_f"].to_numpy())
+            b = grp["rating"].to_numpy()
+            x = np.array(grp["_x"].iloc[0], dtype=float)
+            keys.append(key)
+            out.append([float(v) for v in fn(A, b, x)])
+        return pd.DataFrame({group_col: keys, "factors": out})
+
+    return (
+        joined.withColumn(
+            "_blk", F.pmod(F.col(group_col), F.lit(NUM_SOLVE_BLOCKS))
+        )
+        .groupBy("_blk")
+        .applyInPandas(run, _out_schema(group_col))
+    )
+
+
+def _join_side(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    other_col: str,
+) -> DataFrame:
+    return (
+        ratings.join(
+            fixed.select(F.col(other_col), F.col("factors").alias("_f")), other_col
+        )
+        .join(
+            current.select(F.col(group_col), F.col("factors").alias("_x")),
+            group_col,
+        )
+        .select(group_col, "rating", "_f", "_x")
+    )
+
+
+def _rmse(ratings: DataFrame, user_f: DataFrame, item_f: DataFrame) -> float:
+    return float(
+        predict(ratings, user_f, item_f)
+        .agg(F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))))
+        .collect()[0][0]
+    )
+
+
+# --------------------------------------------------------------------- #
+# coordinate-descent ALS (als_coord.cpp:100)
+# --------------------------------------------------------------------- #
+def als_coord(
+    ratings: DataFrame,
+    d: int = 5,
+    iterations: int = 5,
+    reg: float = LAMBDA_DEFAULT,
+) -> tuple[DataFrame, DataFrame, list[dict]]:
+    """CCD ALS: per half-step one cyclic sweep of single-coordinate
+    updates against the running residual (no D×D solve). Returns
+    (user_factors, item_factors, history)."""
+
+    def ccd_sweep(A: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+        e = b - A @ x
+        n = len(b)
+        for k in range(A.shape[1]):
+            ak = A[:, k]
+            num = ak @ (e + ak * x[k])
+            den = reg * n + ak @ ak
+            new_xk = num / den if den > 0 else 0.0
+            e += ak * (x[k] - new_xk)
+            x[k] = new_xk
+        return x
+
+    r = ratings.select("user", "item", F.col("rating").cast("double")).cache()
+    user_f = _init_factors(r.select("user").distinct(), "user", d).localCheckpoint(
+        eager=True
+    )
+    item_f = _init_factors(r.select("item").distinct(), "item", d).localCheckpoint(
+        eager=True
+    )
+    history: list[dict] = []
+    for it in range(iterations):
+        user_f = _grouped_update(
+            _join_side(r, item_f, user_f, "user", "item"), "user", ccd_sweep
+        ).localCheckpoint(eager=True)
+        item_f = _grouped_update(
+            _join_side(r, user_f, item_f, "item", "user"), "item", ccd_sweep
+        ).localCheckpoint(eager=True)
+        history.append({"iter": it, "train_rmse": _rmse(r, user_f, item_f)})
+    return user_f, item_f, history
+
+
+# --------------------------------------------------------------------- #
+# sparse ALS via CoSaMP (sparse_als.cpp:110, cosamp.hpp)
+# --------------------------------------------------------------------- #
+def _cosamp(
+    A: np.ndarray, b: np.ndarray, s: int, reg: float, max_iter: int = 3
+) -> np.ndarray:
+    """CoSaMP for the tiny local problem: keep at most ``s`` nonzeros.
+    Identify 2s largest proxy coordinates ∪ current support, least-squares
+    on that support (ridge-regularized like the dense solve), prune to the
+    top s."""
+    d = A.shape[1]
+    x = np.zeros(d)
+    resid = b.astype(float)
+    for _ in range(max_iter):
+        proxy = A.T @ resid
+        omega = set(np.argsort(-np.abs(proxy))[: 2 * s]) | set(np.nonzero(x)[0])
+        idx = sorted(omega)
+        As = A[:, idx]
+        ata = As.T @ As + reg * len(b) * np.eye(len(idx))
+        sol = np.linalg.solve(ata, As.T @ b)
+        full = np.zeros(d)
+        full[idx] = sol
+        keep = np.argsort(-np.abs(full))[:s]
+        x = np.zeros(d)
+        x[keep] = full[keep]
+        resid = b - A @ x
+    return x
+
+
+def sparse_als(
+    ratings: DataFrame,
+    d: int = 5,
+    iterations: int = 5,
+    reg: float = LAMBDA_DEFAULT,
+    user_sparsity: int | None = 3,
+    item_sparsity: int | None = None,
+) -> tuple[DataFrame, DataFrame, list[dict]]:
+    """ALS with CoSaMP local solves on the side(s) given a sparsity
+    budget (None = dense Cholesky for that side, matching the reference's
+    per-side ``user_sparsity``/``movie_sparsity`` options)."""
+
+    def solver(s: int | None):
+        if s is None:
+
+            def dense(A, b, x):
+                ata = A.T @ A + reg * len(b) * np.eye(A.shape[1])
+                return np.linalg.solve(ata, A.T @ b)
+
+            return dense
+        return lambda A, b, x: _cosamp(A, b, s, reg)
+
+    r = ratings.select("user", "item", F.col("rating").cast("double")).cache()
+    user_f = _init_factors(r.select("user").distinct(), "user", d).localCheckpoint(
+        eager=True
+    )
+    item_f = _init_factors(r.select("item").distinct(), "item", d).localCheckpoint(
+        eager=True
+    )
+    history: list[dict] = []
+    for it in range(iterations):
+        user_f = _grouped_update(
+            _join_side(r, item_f, user_f, "user", "item"),
+            "user",
+            solver(user_sparsity),
+        ).localCheckpoint(eager=True)
+        item_f = _grouped_update(
+            _join_side(r, user_f, item_f, "item", "user"),
+            "item",
+            solver(item_sparsity),
+        ).localCheckpoint(eager=True)
+        history.append({"iter": it, "train_rmse": _rmse(r, user_f, item_f)})
+    return user_f, item_f, history
+
+
+# --------------------------------------------------------------------- #
+# tensor ALS with a time mode (als_tensor.cpp:112)
+# --------------------------------------------------------------------- #
+def als_tensor(
+    ratings: DataFrame,
+    d: int = 5,
+    iterations: int = 5,
+    reg: float = LAMBDA_DEFAULT,
+    time_col: str = "ts",
+) -> tuple[DataFrame, DataFrame, DataFrame, list[dict]]:
+    """3-mode ALS: r(u,i,t) ≈ Σ_k U·V·T. Each mode's design row is the
+    elementwise product of the two fixed modes' factors (computed JVM-side
+    with zip_with before the grouped solve). ``time_col`` must hold
+    discrete time bins. Returns (U, V, T, history)."""
+
+    def dense(A, b, x):
+        ata = A.T @ A + reg * len(b) * np.eye(A.shape[1])
+        return np.linalg.solve(ata, A.T @ b)
+
+    r = ratings.select(
+        "user", "item", F.col(time_col).cast("long").alias("t"),
+        F.col("rating").cast("double"),
+    ).cache()
+    U = _init_factors(r.select("user").distinct(), "user", d).localCheckpoint(
+        eager=True
+    )
+    V = _init_factors(r.select("item").distinct(), "item", d).localCheckpoint(
+        eager=True
+    )
+    T = _init_factors(r.select("t").distinct(), "t", d).localCheckpoint(eager=True)
+
+    prod = lambda a, b: F.zip_with(a, b, lambda x, y: x * y)  # noqa: E731
+
+    def solve_mode(group_col, f1, c1, f2, c2, current):
+        joined = (
+            r.join(f1.select(F.col(c1), F.col("factors").alias("_f1")), c1)
+            .join(f2.select(F.col(c2), F.col("factors").alias("_f2")), c2)
+            .join(
+                current.select(F.col(group_col), F.col("factors").alias("_x")),
+                group_col,
+            )
+            .select(
+                group_col,
+                "rating",
+                prod(F.col("_f1"), F.col("_f2")).alias("_f"),
+                "_x",
+            )
+        )
+        return _grouped_update(joined, group_col, dense).localCheckpoint(eager=True)
+
+    def tensor_rmse() -> float:
+        p = (
+            r.join(U.select("user", F.col("factors").alias("_u")), "user")
+            .join(V.select("item", F.col("factors").alias("_v")), "item")
+            .join(T.select("t", F.col("factors").alias("_t")), "t")
+            .select(
+                "rating",
+                F.aggregate(
+                    prod(prod(F.col("_u"), F.col("_v")), F.col("_t")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("prediction"),
+            )
+        )
+        return float(
+            p.agg(
+                F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
+            ).collect()[0][0]
+        )
+
+    history: list[dict] = []
+    for it in range(iterations):
+        U = solve_mode("user", V, "item", T, "t", U)
+        V = solve_mode("item", U, "user", T, "t", V)
+        T = solve_mode("t", U, "user", V, "item", T)
+        history.append({"iter": it, "train_rmse": tensor_rmse()})
+    return U, V, T, history

@@ -74,6 +74,90 @@ def _update_side(
     ).select(this_col, F.array(*[f"f{i}" for i in range(d)]).alias("factors"))
 
 
+def nmf_sql(ratings_sql: str, d: int = 4, iterations: int = 3, ndigits: int = 4) -> str:
+    """DuckDB oracle: the Lee-Seung updates unrolled in long form
+    (id, k, val) — W⊙(A·H)/(W·Gram(H)) is three grouped joins per side.
+    Init replicates ``cf.als._init_factors`` (+0.1 shift) exactly, so the
+    whole trajectory is deterministic on both engines; the per-iteration
+    train RMSE (rounded) is the compared output."""
+    eps = EPS
+    ctes = [
+        f"r AS MATERIALIZED ({ratings_sql})",
+        f"ks AS (SELECT unnest(range({d})) AS k)",
+        """w0 AS MATERIALIZED (
+          SELECT "user" AS id, k,
+                 (("user" * (2654435761 + 97 * k) + 12289 * k) % 100003)
+                   / 1000030.0 + 0.1 AS val
+          FROM (SELECT DISTINCT "user" FROM r) CROSS JOIN ks
+        )""",
+        """h0 AS MATERIALIZED (
+          SELECT item AS id, k,
+                 ((item * (2654435761 + 97 * k) + 12289 * k) % 100003)
+                   / 1000030.0 + 0.1 AS val
+          FROM (SELECT DISTINCT item FROM r) CROSS JOIN ks
+        )""",
+    ]
+    rmse_selects = []
+    for i in range(1, iterations + 1):
+        wp, hp = f"w{i - 1}", f"h{i - 1}"
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+              SELECT w.id, w.k,
+                     w.val * coalesce(n.nv, 0.0) / (dn.denom + {eps}) AS val
+              FROM {wp} w
+              JOIN (
+                SELECT w2.id, g.k, sum(w2.val * g.g) AS denom
+                FROM {wp} w2
+                JOIN (
+                  SELECT a.k AS j, b.k AS k, sum(a.val * b.val) AS g
+                  FROM {hp} a JOIN {hp} b ON a.id = b.id GROUP BY 1, 2
+                ) g ON g.j = w2.k
+                GROUP BY w2.id, g.k
+              ) dn ON dn.id = w.id AND dn.k = w.k
+              LEFT JOIN (
+                SELECT r."user" AS id, h.k, sum(r.rating * h.val) AS nv
+                FROM r JOIN {hp} h ON h.id = r.item GROUP BY 1, 2
+              ) n ON n.id = w.id AND n.k = w.k
+            )"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+              SELECT h.id, h.k,
+                     h.val * coalesce(n.nv, 0.0) / (dn.denom + {eps}) AS val
+              FROM {hp} h
+              JOIN (
+                SELECT h2.id, g.k, sum(h2.val * g.g) AS denom
+                FROM {hp} h2
+                JOIN (
+                  SELECT a.k AS j, b.k AS k, sum(a.val * b.val) AS g
+                  FROM w{i} a JOIN w{i} b ON a.id = b.id GROUP BY 1, 2
+                ) g ON g.j = h2.k
+                GROUP BY h2.id, g.k
+              ) dn ON dn.id = h.id AND dn.k = h.k
+              LEFT JOIN (
+                SELECT r.item AS id, w.k, sum(r.rating * w.val) AS nv
+                FROM r JOIN w{i} w ON w.id = r."user" GROUP BY 1, 2
+              ) n ON n.id = h.id AND n.k = h.k
+            )"""
+        )
+        ctes.append(
+            f"""rmse{i} AS MATERIALIZED (
+              SELECT sqrt(avg(pow(rating - pred, 2))) AS v FROM (
+                SELECT r.rating, sum(w.val * h.val) AS pred
+                FROM r
+                JOIN w{i} w ON w.id = r."user"
+                JOIN h{i} h ON h.id = r.item AND h.k = w.k
+                GROUP BY r."user", r.item, r.rating
+              )
+            )"""
+        )
+        rmse_selects.append(
+            f"SELECT CAST({i - 1} AS INT) AS iter, "
+            f"round(v, {ndigits}) AS train_rmse FROM rmse{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rmse_selects)
+
+
 def nmf(
     ratings: DataFrame, d: int = 5, iterations: int = 5
 ) -> tuple[DataFrame, DataFrame, list[dict]]:

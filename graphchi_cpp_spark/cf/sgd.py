@@ -1,11 +1,20 @@
-"""SGD-family matrix factorization (M3): sgd, biasSGD, SVD++.
+"""SGD-family matrix factorization (M3): sgd, biasSGD (+biassgd2 losses),
+SVD++, timeSVD++.
 
 Reference updates (per observed rating, learning rate γ, reg λ):
 - sgd     (``toolkits/collaborative_filtering/sgd.cpp:121``):
     e = r − uᵀv;  u += γ(e·v − λu);  v += γ(e·u − λv)
 - biassgd (``biassgd.cpp:126``): adds μ + b_u + b_i bias terms
+- biassgd2 (``biassgd2.cpp:131``): biasSGD under selectable loss —
+    square (gradient e), abs (gradient sign(e)), logistic (ratings
+    scaled to [0,1], prediction squashed by a sigmoid, gradient
+    (r₀₁−σ)·σ·(1−σ)); RMSE is always reported in the original scale.
 - svdpp   (``svdpp.cpp:160``): user vector augmented with implicit
     feedback Σ_{j∈N(u)} y_j / sqrt|N(u)|
+- timesvdpp (``timesvdpp.cpp:261``): svdpp plus a per-time-bin bias b_t
+    learned like the item bias (the reference's full time-evolving
+    factors are folded to the bias term — documented simplification;
+    the tensor-factor path lives in ``cf/als_variants.als_tensor``).
 
 **Documented semantic deviation (SURVEY §2.5 M3):** the reference runs
 asynchronous Hogwild-style updates over shared memory. A BSP engine
@@ -36,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from graphchi_cpp_spark.cf.als import _init_factors, predict
+from graphchi_cpp_spark.cf.als import _init_factors
 
 _OUT_SCHEMA = StructType(
     [
@@ -57,6 +66,9 @@ def sgd(
     num_blocks: int | None = None,
     variant: str = "sgd",
     target_block_rows: int = 50_000,
+    loss: str = "square",
+    time_col: str | None = None,
+    step_dec: float = 1.0,
 ) -> tuple[DataFrame, DataFrame, list[dict]]:
     """Returns (user_factors, item_factors, history). variant ∈
     {'sgd','biassgd','svdpp'} (biases folded into factor slots d and d+1
@@ -68,21 +80,43 @@ def sgd(
     ``num_blocks=None`` scales with the data: ~``target_block_rows``
     ratings per block (floor 8 so small inputs still parallelize, cap
     4096). More blocks = more parallelism but noisier item-factor
-    averaging — the documented BSP trade against Hogwild."""
-    if variant not in ("sgd", "biassgd", "svdpp"):
+    averaging — the documented BSP trade against Hogwild.
+
+    ``loss`` ∈ {'square','abs','logistic'} (biassgd2 family — requires a
+    bias variant); ``time_col`` holds discrete time bins for timesvdpp.
+    """
+    if variant not in ("sgd", "biassgd", "svdpp", "timesvdpp"):
         raise ValueError(variant)
-    use_bias = variant in ("biassgd", "svdpp")
-    use_implicit = variant == "svdpp"
+    use_bias = variant in ("biassgd", "svdpp", "timesvdpp")
+    use_implicit = variant in ("svdpp", "timesvdpp")
+    use_time = variant == "timesvdpp"
+    if loss not in ("square", "abs", "logistic"):
+        raise ValueError(loss)
+    if loss != "square" and not use_bias:
+        raise ValueError("abs/logistic losses are biassgd2 variants — "
+                         "use variant='biassgd'")
+    if use_time and time_col is None:
+        raise ValueError("timesvdpp needs time_col")
 
     if num_blocks is None:
         n = ratings.count()
         num_blocks = max(8, min(4096, -(-n // target_block_rows)))
 
+    tcols = (
+        [F.col(time_col).cast("long").alias("tbin")]
+        if use_time
+        else [F.lit(0).cast("long").alias("tbin")]
+    )
     r = ratings.select(
-        "user", "item", F.col("rating").cast("double"),
+        "user", "item", F.col("rating").cast("double"), *tcols,
         F.pmod(F.col("user"), F.lit(num_blocks)).alias("block"),
     ).cache()
     mu = float(r.agg(F.avg("rating")).collect()[0][0]) if use_bias else 0.0
+    if loss == "logistic":
+        mm = r.agg(F.min("rating").alias("lo"), F.max("rating").alias("hi")).collect()[0]
+        r_lo, r_span = float(mm["lo"]), max(float(mm["hi"]) - float(mm["lo"]), 1e-12)
+    else:
+        r_lo, r_span = 0.0, 1.0
 
     user_f = _init_factors(r.select("user").distinct(), "user", d)
     item_f = _init_factors(r.select("item").distinct(), "item", d)
@@ -92,13 +126,23 @@ def sgd(
         item_f = item_f.select("item", pad(F.col("factors"), 1.0, 0.0).alias("factors"))
     user_f = user_f.localCheckpoint(eager=True)
     item_f = item_f.localCheckpoint(eager=True)
+    tb_f = (
+        r.select("tbin").distinct().select("tbin", F.lit(0.0).alias("b"))
+        .localCheckpoint(eager=True)
+    )
 
     history: list[dict] = []
     for it in range(iterations):
+        # step decay (reference --*_step_dec): essential for the abs loss,
+        # whose sign gradient bounces around the optimum at constant step
+        gamma_it = gamma * (step_dec ** it)
         joined = (
             r.join(user_f.select("user", F.col("factors").alias("_uf")), "user")
             .join(item_f.select("item", F.col("factors").alias("_if")), "item")
-            .select("block", "user", "item", "rating", "_uf", "_if")
+            .join(tb_f.select("tbin", F.col("b").alias("_tb")), "tbin")
+            .select(
+                "block", "user", "item", "rating", "tbin", "_tb", "_uf", "_if"
+            )
         )
 
         def run_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -120,8 +164,12 @@ def sgd(
             uids = pdf["user"].to_numpy()
             iids = pdf["item"].to_numpy()
             rts = pdf["rating"].to_numpy()
+            tbins = pdf["tbin"].to_numpy()
+            tb0 = pdf["_tb"].to_numpy()
             ufs = pdf["_uf"].to_numpy()
             ifs = pdf["_if"].to_numpy()
+            tbias: dict[int, float] = {}
+            t_upd: dict[int, int] = {}
             for i in range(len(uids)):
                 uid, iid = uids[i], iids[i]
                 u = users.get(uid)
@@ -136,26 +184,44 @@ def sgd(
                     pred = mu + u_eff @ v
                 else:
                     pred = mu + u @ v if use_bias else u @ v
-                e = rts[i] - pred
+                if use_time:
+                    tb = tbins[i]
+                    bt = tbias.setdefault(tb, float(tb0[i]))
+                    pred += bt
+                # gradient error under the selected loss (biassgd2 family)
+                if loss == "square":
+                    ge = rts[i] - pred
+                elif loss == "abs":
+                    ge = np.sign(rts[i] - pred)
+                else:  # logistic on [0,1]-scaled ratings
+                    p = 1.0 / (1.0 + np.exp(-pred))
+                    ge = ((rts[i] - r_lo) / r_span - p) * p * (1.0 - p)
                 if use_bias:
                     gu, gv = u[:d], v[:d]
                     bu, bi = u[d], v[d + 1]
                     gu_eff = gu + implicit[uid] if use_implicit else gu
-                    gu_new = gu + gamma * (e * gv - lam * gu)
-                    gv_new = gv + gamma * (e * gu_eff - lam * gv)
-                    bu += gamma * (e - lam * bu)
-                    bi += gamma * (e - lam * bi)
+                    gu_new = gu + gamma_it * (ge * gv - lam * gu)
+                    gv_new = gv + gamma_it * (ge * gu_eff - lam * gv)
+                    bu += gamma_it * (ge - lam * bu)
+                    bi += gamma_it * (ge - lam * bi)
                     u[:d], v[:d] = gu_new, gv_new
                     u[d], v[d + 1] = bu, bi
                 else:
-                    u_new = u + gamma * (e * v - lam * u)
-                    v_new = v + gamma * (e * u - lam * v)
+                    u_new = u + gamma_it * (ge * v - lam * u)
+                    v_new = v + gamma_it * (ge * u - lam * v)
                     u[:], v[:] = u_new, v_new
+                if use_time:
+                    tbias[tb] = bt + gamma_it * (ge - lam * bt)
+                    t_upd[tb] = t_upd.get(tb, 0) + 1
                 item_upd[iid] = item_upd.get(iid, 0) + 1
             out = [("user", k, list(map(float, vec)), 1) for k, vec in users.items()]
             out += [
                 ("item", k, list(map(float, vec)), item_upd[k])
                 for k, vec in items.items()
+            ]
+            out += [
+                ("tbias", k, [float(b)], t_upd.get(k, 1))
+                for k, b in tbias.items()
             ]
             return pd.DataFrame(out, columns=["kind", "id", "factors", "n_upd"])
 
@@ -187,9 +253,43 @@ def sgd(
             )
             .localCheckpoint(eager=True)
         )
-        preds = predict(r.select("user", "item", "rating"), user_f, item_f)
+        if use_time:
+            tb_f = (
+                updated.filter(F.col("kind") == "tbias")
+                .select(F.col("id").alias("tbin"), F.col("factors")[0].alias("b"),
+                        "n_upd")
+                .groupBy("tbin")
+                .agg((F.sum(F.col("b") * F.col("n_upd")) / F.sum("n_upd")).alias("b"))
+                .localCheckpoint(eager=True)
+            )
+        preds = (
+            r.select("user", "item", "rating", "tbin")
+            .join(user_f.select("user", F.col("factors").alias("_uf")), "user")
+            .join(item_f.select("item", F.col("factors").alias("_if")), "item")
+            .select(
+                "rating",
+                "tbin",
+                F.aggregate(
+                    F.zip_with("_uf", "_if", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("prediction"),
+            )
+        )
         if use_bias:
             preds = preds.withColumn("prediction", F.col("prediction") + mu)
+        if use_time:
+            preds = preds.join(tb_f, "tbin", "left").withColumn(
+                "prediction",
+                F.col("prediction") + F.coalesce("b", F.lit(0.0)),
+            )
+        if loss == "logistic":
+            # report RMSE in the original rating scale
+            preds = preds.withColumn(
+                "prediction",
+                F.lit(r_lo)
+                + F.lit(r_span) / (F.lit(1.0) + F.exp(-F.col("prediction"))),
+            )
         rmse = preds.agg(
             F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
         ).collect()[0][0]

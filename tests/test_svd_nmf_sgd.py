@@ -65,6 +65,73 @@ def test_svdpp_converges(spark, sf_dir):
     assert rmses[-1] < rmses[0]
 
 
+def test_als_coord_converges_deterministic(spark, sf_dir):
+    from graphchi_cpp_spark.cf.als_variants import als_coord
+
+    r = ratings(spark, sf_dir)
+    _, _, h1 = als_coord(r, d=4, iterations=3)
+    rmses = [h["train_rmse"] for h in h1]
+    assert rmses[-1] < rmses[0]
+    _, _, h2 = als_coord(r, d=4, iterations=3)
+    assert rmses == [h["train_rmse"] for h in h2]
+
+
+def test_sparse_als_respects_sparsity(spark, sf_dir):
+    from graphchi_cpp_spark.cf.als_variants import sparse_als
+
+    r = ratings(spark, sf_dir)
+    U, V, hist = sparse_als(r, d=4, iterations=2, user_sparsity=2)
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+    # every user vector has at most 2 nonzeros; items stay dense
+    nnz = U.select(
+        F.max(
+            F.size(F.filter(F.col("factors"), lambda x: F.abs(x) > 1e-12))
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert nnz <= 2
+
+
+def test_als_tensor_converges(spark, sf_dir):
+    from graphchi_cpp_spark.cf.als_variants import als_tensor
+
+    r = ratings(spark, sf_dir).withColumn(
+        "ts", F.pmod(F.col("user") + F.col("item"), F.lit(6))
+    )
+    U, V, T, hist = als_tensor(r, d=4, iterations=2)
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+    assert T.count() == 6
+
+
+def test_timesvdpp_converges(spark, sf_dir):
+    r = ratings(spark, sf_dir).withColumn(
+        "ts", F.pmod(F.col("user") + F.col("item"), F.lit(6))
+    )
+    _, _, hist = sgd(
+        r, d=4, iterations=3, gamma=0.02, variant="timesvdpp", time_col="ts"
+    )
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+
+
+def test_biassgd2_losses_converge(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    for loss, g, dec in (("abs", 0.02, 0.5), ("logistic", 0.05, 1.0)):
+        _, _, hist = sgd(
+            r, d=4, iterations=3, gamma=g, variant="biassgd", loss=loss,
+            step_dec=dec,
+        )
+        rmses = [h["train_rmse"] for h in hist]
+        assert rmses[-1] < rmses[0], (loss, rmses)
+
+
+def test_sgd_invalid_loss_combination(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    with pytest.raises(ValueError):
+        sgd(r, variant="sgd", loss="abs")
+
+
 def test_wals_weighted(spark, sf_dir):
     from graphchi_cpp_spark.cf.als import als
 
