@@ -66,15 +66,34 @@ def main():
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        n_rows = df.count()
+        wall = round(time.time() - t0, 3)
+        timings[name] = wall
+        metrics[name] = {"wall_sec": wall, "rows": n_rows}
 
     total = round(sum(timings.values()), 3)
+    # C14-lite metrics reporter (reference src/metrics/metrics.hpp:165
+    # file reporter): per-query timers + row counts, one JSON file next
+    # to the repo for post-hoc comparison across rounds
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_metrics.json"), "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "sf_dir": sf_dir,
+                "total_sec": total,
+                "queries": metrics,
+                "unix_time": int(time.time()),
+            },
+            f,
+            indent=2,
+        )
     print(
         json.dumps(
             {

@@ -126,6 +126,54 @@ def read_cassovary(spark: SparkSession, path: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 # id densification + degree relabel
 # --------------------------------------------------------------------- #
+def read_binary_edge_list(
+    spark: SparkSession,
+    path: str,
+    value_format: str | None = None,
+) -> DataFrame:
+    """S5: raw binary edge records, possibly across many files
+    (``src/preprocessing/conversions.hpp:523-602`` — ``(uint32 src,
+    uint32 dst[, value])`` little-endian, concatenated).
+
+    ``value_format``: None (8-byte records), ``'f4'``/``'f8'``/``'i4'``
+    (numpy dtype codes for the trailing value field).
+
+    Spark-first shape: ``binaryFile`` yields one row per file; a
+    ``mapInPandas`` decode turns each file's bytes into edge rows with
+    numpy ``frombuffer`` (vectorized, no per-record Python). Parallelism
+    is per file — matching the reference's multi-file convention; shard
+    large datasets across files for more tasks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    has_value = value_format is not None
+    if has_value:
+        dtype = np.dtype(
+            [("src", "<u4"), ("dst", "<u4"), ("val", f"<{value_format}")]
+        )
+        schema = "src long, dst long, weight double"
+    else:
+        dtype = np.dtype([("src", "<u4"), ("dst", "<u4")])
+        schema = "src long, dst long"
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                n = len(content) // dtype.itemsize
+                rec = np.frombuffer(content, dtype=dtype, count=n)
+                out = {
+                    "src": rec["src"].astype("int64"),
+                    "dst": rec["dst"].astype("int64"),
+                }
+                if has_value:
+                    out["weight"] = rec["val"].astype("float64")
+                yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode, schema)
+
+
 def densify_ids(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> tuple[DataFrame, DataFrame]:

@@ -93,6 +93,30 @@ def test_matrix_market_roundtrip(spark, tmpdir):
     assert {tuple(x) for x in back.collect()} == got
 
 
+def test_binary_edge_list_reader(spark, tmpdir):
+    """S5: (uint32, uint32[, float]) raw records across multiple files."""
+    import struct
+
+    from graphchi_cpp_spark.sources.readers import read_binary_edge_list
+
+    d = os.path.join(tmpdir, "binedges")
+    os.makedirs(d)
+    with open(os.path.join(d, "part0.bin"), "wb") as f:
+        f.write(struct.pack("<IIII", 0, 1, 2, 3))  # edges (0,1) (2,3)
+    with open(os.path.join(d, "part1.bin"), "wb") as f:
+        f.write(struct.pack("<II", 7, 9))
+    e = read_binary_edge_list(spark, d)
+    assert {(r["src"], r["dst"]) for r in e.collect()} == {(0, 1), (2, 3), (7, 9)}
+
+    dv = os.path.join(tmpdir, "binedges_w")
+    os.makedirs(dv)
+    with open(os.path.join(dv, "w.bin"), "wb") as f:
+        f.write(struct.pack("<IIf", 1, 2, 0.5) + struct.pack("<IIf", 3, 4, 1.5))
+    ew = read_binary_edge_list(spark, dv, value_format="f4")
+    got = {(r["src"], r["dst"], r["weight"]) for r in ew.collect()}
+    assert got == {(1, 2, 0.5), (3, 4, 1.5)}
+
+
 def test_matrix_market_distributed_roundtrip_sf01(spark, tmpdir):
     """sf0.1-scale round-trip (~600k rows): the writer formats rows on
     executors and the driver only streams part-file bytes — no collect."""
