@@ -350,6 +350,14 @@ def _register_cf():
             "user", F.round("ap", 6).alias("ap")
         )
 
+    from graphchi_cpp_spark.cf.itemcf import itemcf_cv, itemcf_cv_sql
+
+    # K-fold CV driver (itemcf2/itemcf3 role): md5 fold hash + rounded
+    # scores make the whole pipeline hash-comparable fold-for-fold
+    @query("itemcf_cv", itemcf_cv_sql(RATINGS_SQL, k_folds=3))
+    def q_itemcf_cv(spark, sf_dir):
+        return itemcf_cv(ratings(spark, sf_dir), k_folds=3)
+
     @query("als_rmse_history")  # iterative pandas-UDF solve — rows-only check
     def q_als_history(spark, sf_dir):
         _, _, hist = als(ratings(spark, sf_dir), d=5, iterations=3)
@@ -679,6 +687,40 @@ def _register_ml_extras():
             ratings(spark, sf_dir), d=4, iterations=2, gamma=0.05,
             variant="biassgd", loss="logistic",
         )
+        return _hist_df(spark, hist)
+
+    @query("pmf_rmse_history")  # seeded Gibbs sampling — rows-only
+    def q_pmf(spark, sf_dir):
+        from graphchi_cpp_spark.cf.pmf import pmf
+
+        _, _, hist = pmf(ratings(spark, sf_dir), d=4, iterations=4, burn_in=1)
+        return _hist_df(spark, hist)
+
+    @query("climf_objective_history")  # smoothed-MRR ascent — rows-only
+    def q_climf(spark, sf_dir):
+        from graphchi_cpp_spark.cf.climf import climf
+
+        _, _, hist = climf(ratings(spark, sf_dir), d=4, iterations=3, gamma=0.005)
+        return spark.createDataFrame(
+            [(h["iter"], round(h["objective"], 4)) for h in hist],
+            "iter int, objective double",
+        )
+
+    @query("rbm_rmse_history")  # seeded CD-1 sampling — rows-only
+    def q_rbm(spark, sf_dir):
+        from graphchi_cpp_spark.cf.rbm import rbm
+
+        _, _, hist = rbm(ratings(spark, sf_dir), d=6, iterations=3)
+        return _hist_df(spark, hist)
+
+    @query("libfm_rmse_history")  # FM SGD epochs — rows-only
+    def q_fm(spark, sf_dir):
+        from graphchi_cpp_spark.cf.fm import fm
+
+        r = ratings(spark, sf_dir).withColumn(
+            "tbin", F.pmod(F.col("user") + F.col("item"), F.lit(6))
+        )
+        _, hist = fm(r, feature_cols=["user", "item", "tbin"], d=4, iterations=3)
         return _hist_df(spark, hist)
 
     @query("biassgd2_abs_rmse_history")  # rows-only

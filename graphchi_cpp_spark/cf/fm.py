@@ -1,0 +1,183 @@
+"""Factorization machines (M8) — libFM / gensgd-style SGD over arbitrary
+feature columns.
+
+References: ``toolkits/collaborative_filtering/libfm.cpp:176`` (FM with
+user/item/time/last-item fields), ``gensgd.cpp:761`` (generalized SGD
+over arbitrary feature columns parsed from the input — the "fields"
+idea). The FM model over binary feature indicators x:
+
+    ŷ = w0 + Σ_f w_f + Σ_{f<f'} ⟨v_f, v_f'⟩
+       = w0 + Σ w_f + ½(‖s‖² − Σ‖v_f‖²),  s = Σ_f v_f
+
+Per-rating SGD (e = r − ŷ): w0 += γ(e − λw0); w_f += γ(e − λw_f);
+v_f += γ(e·(s − v_f) − λv_f).
+
+Spark mapping mirrors gensgd's arbitrary-column design: callers pass any
+list of feature columns; each column's values are offset into one global
+feature-id space (driver computes per-column offsets from max values —
+one tiny agg). Training uses the cf/sgd.py block-epoch pattern: the
+first feature column partitions blocks, cross-block features (items,
+time bins, …) are update-count-averaged. Deterministic hash init.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from graphchi_cpp_spark.cf.als import _init_factors
+from graphchi_cpp_spark.cf.sgd import _OUT_SCHEMA
+
+
+def fm(
+    ratings: DataFrame,
+    feature_cols: list[str] | None = None,
+    d: int = 5,
+    iterations: int = 5,
+    gamma: float = 0.01,
+    lam: float = 0.01,
+    num_blocks: int | None = None,
+    target_block_rows: int = 50_000,
+    step_dec: float = 0.9,
+) -> tuple[DataFrame, list[dict]]:
+    """Returns (feature_factors, history). ``feature_factors`` rows:
+    (feature, factors array<double>) where factors = [v_1..v_d, w]; the
+    global intercept w0 is returned in history[-1]['w0']."""
+    feature_cols = feature_cols or ["user", "item"]
+    if num_blocks is None:
+        n = ratings.count()
+        num_blocks = max(8, min(4096, -(-n // target_block_rows)))
+
+    # offset each column into a disjoint global feature-id space
+    maxes = ratings.agg(
+        *[F.max(F.col(c)).alias(c) for c in feature_cols]
+    ).collect()[0]
+    offsets, off = {}, 0
+    for c in feature_cols:
+        offsets[c] = off
+        off += int(maxes[c]) + 1
+
+    feats = [
+        (F.col(c) + F.lit(offsets[c])).cast("long").alias(f"_feat_{i}")
+        for i, c in enumerate(feature_cols)
+    ]
+    r = ratings.select(
+        F.col("rating").cast("double"),
+        *feats,
+        F.pmod(F.col(feature_cols[0]), F.lit(num_blocks)).alias("block"),
+    ).cache()
+    mu = float(r.agg(F.avg("rating")).collect()[0][0])
+
+    nf = len(feature_cols)
+    feat_ids = r.select(
+        F.explode(F.array(*[f"_feat_{i}" for i in range(nf)])).alias("feature")
+    ).distinct()
+    # factors = [v(d), w] per feature
+    feat_f = (
+        _init_factors(feat_ids, "feature", d)
+        .select(
+            "feature",
+            F.concat(
+                F.transform("factors", lambda x: x * 0.1), F.array(F.lit(0.0))
+            ).alias("factors"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w0 = mu  # intercept initialized at the global mean
+    history: list[dict] = []
+    for it in range(iterations):
+        gamma_it = gamma * (step_dec ** it)
+
+        def run_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                [f"_feat_{i}" for i in range(nf)]
+            ).reset_index(drop=True)
+            nonlocal_w0 = w0
+            states: dict[int, np.ndarray] = {}
+            upd: dict[int, int] = {}
+            rts = pdf["rating"].to_numpy()
+            fcols = [pdf[f"_feat_{i}"].to_numpy() for i in range(nf)]
+            fvecs = [pdf[f"_ff_{i}"].to_numpy() for i in range(nf)]
+            sse = 0.0
+            for i in range(len(rts)):
+                xs = []
+                for j in range(nf):
+                    fid = fcols[j][i]
+                    v = states.get(fid)
+                    if v is None:
+                        v = states[fid] = np.array(fvecs[j][i], dtype=float)
+                    xs.append(v)
+                s = np.zeros(d)
+                lin = 0.0
+                sq = 0.0
+                for v in xs:
+                    s += v[:d]
+                    lin += v[d]
+                    sq += float(v[:d] @ v[:d])
+                pred = nonlocal_w0 + lin + 0.5 * (float(s @ s) - sq)
+                e = rts[i] - pred
+                sse += e * e
+                nonlocal_w0 += gamma_it * (e - lam * nonlocal_w0)
+                for j, v in enumerate(xs):
+                    grad_v = e * (s - v[:d]) - lam * v[:d]
+                    v[:d] = v[:d] + gamma_it * grad_v
+                    v[d] += gamma_it * (e - lam * v[d])
+                    upd[fcols[j][i]] = upd.get(fcols[j][i], 0) + 1
+            out = [
+                ("item", k, [float(x) for x in v], upd.get(k, 1))
+                for k, v in states.items()
+            ]
+            out.append(("w0", -1, [float(nonlocal_w0), float(len(rts))], 1))
+            out.append(("rmse", -2, [sse, float(len(rts))], 1))
+            return pd.DataFrame(out, columns=["kind", "id", "factors", "n_upd"])
+
+        joined = r
+        for i in range(nf):
+            joined = joined.join(
+                feat_f.select(
+                    F.col("feature").alias(f"_feat_{i}"),
+                    F.col("factors").alias(f"_ff_{i}"),
+                ),
+                f"_feat_{i}",
+            )
+        updated = (
+            joined.groupBy("block")
+            .applyInPandas(run_block, _OUT_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        feat_f = (
+            updated.filter(F.col("kind") == "item")
+            .select(F.col("id").alias("feature"), "factors", "n_upd")
+            .select(
+                "feature", "n_upd", F.posexplode("factors").alias("pos", "x")
+            )
+            .groupBy("feature", "pos")
+            .agg((F.sum(F.col("x") * F.col("n_upd")) / F.sum("n_upd")).alias("x"))
+            .groupBy("feature")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s["x"],
+                ).alias("factors")
+            )
+            .localCheckpoint(eager=True)
+        )
+        aggs = updated.filter(F.col("kind").isin("w0", "rmse")).collect()
+        w0_rows = [a for a in aggs if a["kind"] == "w0"]
+        rmse_rows = [a for a in aggs if a["kind"] == "rmse"]
+        w0 = float(
+            sum(a["factors"][0] * a["factors"][1] for a in w0_rows)
+            / max(sum(a["factors"][1] for a in w0_rows), 1.0)
+        )
+        sse = sum(a["factors"][0] for a in rmse_rows)
+        cnt = sum(a["factors"][1] for a in rmse_rows)
+        history.append(
+            {
+                "iter": it,
+                "train_rmse": float(np.sqrt(sse / max(cnt, 1.0))),
+                "w0": w0,
+            }
+        )
+    return feat_f, history

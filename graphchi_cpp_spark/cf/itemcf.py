@@ -158,12 +158,18 @@ def itemsim2rating(
     sims: DataFrame,
     k: int = 10,
     exclude_seen: bool = True,
+    score_ndigits: int | None = None,
 ) -> DataFrame:
     """M11: score(u, j) = Σ_{i∈history(u)} sim(i, j); top-K per user.
 
     ``sims`` is the symmetric (item_a < item_b, sim) table; both directions
     are expanded here. Seen items are excluded via left-anti join
     (reference flag ``--remove_seen``). Returns (user, item, score, rank).
+
+    ``score_ndigits``: round scores BEFORE ranking — parallel float sums
+    differ in final ULPs, so unrounded near-tied scores can rank
+    differently run-to-run (and engine-to-engine); oracle-compared
+    callers round at 6.
     """
     both = sims.select("item_a", "item_b", "sim").unionByName(
         sims.select(
@@ -173,11 +179,122 @@ def itemsim2rating(
         )
     )
     hist = ratings.select("user", "item").distinct()
+    score_expr = F.sum("sim")
+    if score_ndigits is not None:
+        score_expr = F.round(score_expr, score_ndigits)
     scores = (
         hist.join(both, hist.item == both.item_a)
         .groupBy("user", F.col("item_b").alias("item"))
-        .agg(F.sum("sim").alias("score"))
+        .agg(score_expr.alias("score"))
     )
     if exclude_seen:
         scores = scores.join(hist, ["user", "item"], "left_anti")
     return top_k_per_key(scores, "user", "score", k, tiebreak_col="item")
+
+
+def itemcf_cv(
+    ratings: DataFrame,
+    k_folds: int = 3,
+    metric: str = "jaccard",
+    top_k: int = 5,
+    min_common: int = 1,
+    like_threshold: float = 4.0,
+    max_user_degree: int | None = None,
+) -> DataFrame:
+    """K-fold cross-validation driver for item-CF (the role of the
+    ``itemcf2.cpp:324`` / ``itemcf3.cpp:259`` variant CLIs — their
+    similarity math is already covered by the ``metric`` enum; what
+    differs is the fold loop): per fold, similarities are computed on the
+    TRAINING folds only, turned into top-K recommendations, and scored by
+    mean AP@K against the held-out fold's liked items. Returns one row
+    per fold: (fold, n_users, mean_ap). Fold assignment is the
+    deterministic (user, item) hash from ``kfold_split``."""
+    from graphchi_cpp_spark.cf.eval import average_precision_at_k
+    from graphchi_cpp_spark.sources.matrix_market import kfold_split
+
+    spark = ratings.sparkSession
+    rows = []
+    for fold in range(k_folds):
+        train = kfold_split(ratings, k_folds, fold, training=True)
+        held = kfold_split(ratings, k_folds, fold, training=False)
+        sims = item_similarity(
+            train, metric, min_common=min_common, max_user_degree=max_user_degree
+        )
+        recs = itemsim2rating(train, sims, k=top_k, score_ndigits=6)
+        truth = held.filter(F.col("rating") >= like_threshold).select(
+            "user", "item"
+        )
+        ap = average_precision_at_k(recs, truth, top_k)
+        agg = ap.agg(
+            F.count("*").alias("n"), F.round(F.avg("ap"), 6).alias("m")
+        ).collect()[0]
+        rows.append((fold, int(agg["n"]), float(agg["m"] or 0.0)))
+    return spark.createDataFrame(rows, "fold int, n_users long, mean_ap double")
+
+
+def itemcf_cv_sql(
+    ratings_sql: str,
+    k_folds: int = 3,
+    metric: str = "jaccard",
+    top_k: int = 5,
+    min_common: int = 1,
+    like_threshold: float = 4.0,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for ``itemcf_cv`` — the md5 fold hash makes the
+    train/held splits bit-identical to the Spark side, and scores are
+    rounded before ranking on both sides so the top-K agrees."""
+    from graphchi_cpp_spark.cf.eval import ap_at_k_sql
+    from graphchi_cpp_spark.sources.matrix_market import kfold_bucket_sql
+
+    ctes = [
+        f"""r AS MATERIALIZED (
+          SELECT "user", item, rating, {kfold_bucket_sql(k_folds)} AS fb
+          FROM ({ratings_sql})
+        )"""
+    ]
+    selects = []
+    for f in range(k_folds):
+        train = f'SELECT "user", item, rating FROM r WHERE fb != {f}'
+        ctes.append(
+            f"sims{f} AS MATERIALIZED ({item_similarity_sql(train, metric, min_common)})"
+        )
+        ctes.append(
+            f"""recs{f} AS MATERIALIZED (
+              WITH both_dirs AS (
+                SELECT item_a, item_b, sim FROM sims{f}
+                UNION ALL
+                SELECT item_b, item_a, sim FROM sims{f}
+              ),
+              hist AS (SELECT DISTINCT "user", item FROM r WHERE fb != {f}),
+              scores AS (
+                SELECT h."user", b.item_b AS item, round(sum(b.sim), 6) AS score
+                FROM hist h JOIN both_dirs b ON b.item_a = h.item
+                GROUP BY 1, 2
+              ),
+              unseen AS (
+                SELECT s.* FROM scores s
+                LEFT JOIN hist h ON h."user" = s."user" AND h.item = s.item
+                WHERE h.item IS NULL
+              )
+              SELECT "user", item, score, rank FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY "user" ORDER BY score DESC, item ASC
+                ) AS rank FROM unseen
+              ) WHERE rank <= {top_k}
+            )"""
+        )
+        truth = (
+            f'SELECT "user", item FROM r WHERE fb = {f} '
+            f"AND rating >= {like_threshold}"
+        )
+        ctes.append(
+            f"ap{f} AS MATERIALIZED ("
+            + ap_at_k_sql(f"SELECT * FROM recs{f}", truth, top_k)
+            + ")"
+        )
+        selects.append(
+            f"SELECT CAST({f} AS INT) AS fold, count(*) AS n_users, "
+            f"coalesce(round(avg(ap), {ndigits}), 0.0) AS mean_ap FROM ap{f}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

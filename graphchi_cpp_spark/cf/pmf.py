@@ -1,0 +1,196 @@
+"""Bayesian PMF (M6) — Gibbs-sampled matrix factorization.
+
+Reference: ``toolkits/collaborative_filtering/pmf.cpp:309`` — BPMF
+(Salakhutdinov & Mnih 2008): per sweep, sample Gaussian-Wishart
+hyperpriors for each side from the current factor moments (``sample_U`` /
+``sample_V``, ``pmf.cpp:218,251``), then per vertex draw from the
+conditional Gaussian posterior Λ* = Λ + α·XᵀX, and accumulate the
+RUNNING AVERAGE of predictions (``avgprd``) whose RMSE is the reported
+metric — individual Gibbs samples wobble, the average descends.
+
+Engine split (same as cf/als.py): hyperprior sampling is driver-side
+numpy over d-vector/d×d factor MOMENTS computed by Spark aggregates (the
+K×K driver-state pattern the survey sanctions for Lanczos — no factor
+table is ever collected); the per-entity conditional solve+draw runs in
+hash-block ``applyInPandas``; prediction averaging and RMSE stay in
+Spark expressions.
+
+Determinism: every draw uses ``numpy.random.default_rng`` seeded from
+(entity id, sweep, side) integers — double runs are bit-identical, no
+global RNG state (the reference seeds libc rand; we strengthen the
+contract the same way the random-walks operator does).
+
+Noise precision α is fixed at 2.0 (the BPMF paper's choice; the
+reference optionally Wishart-samples it — documented simplification).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from graphchi_cpp_spark.cf.als import NUM_SOLVE_BLOCKS, _init_factors
+
+ALPHA = 2.0
+
+
+def _wishart(rng: np.random.Generator, nu: float, W: np.ndarray) -> np.ndarray:
+    """Bartlett-decomposition Wishart draw (numpy has no wishart)."""
+    d = W.shape[0]
+    L = np.linalg.cholesky(W)
+    A = np.zeros((d, d))
+    for i in range(d):
+        A[i, i] = np.sqrt(rng.chisquare(nu - i))
+        for j in range(i):
+            A[i, j] = rng.standard_normal()
+    LA = L @ A
+    return LA @ LA.T
+
+
+def _factor_moments(side_f: DataFrame, d: int) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, E[xxᵀ]) via ONE Spark aggregate — d + d² scalars."""
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.avg(F.col("factors")[i]).alias(f"m{i}") for i in range(d)]
+    aggs += [
+        F.avg(F.col("factors")[i] * F.col("factors")[j]).alias(f"s{i}_{j}")
+        for i in range(d)
+        for j in range(d)
+    ]
+    row = side_f.agg(*aggs).collect()[0]
+    n = row["n"]
+    mean = np.array([row[f"m{i}"] for i in range(d)])
+    exx = np.array([[row[f"s{i}_{j}"] for j in range(d)] for i in range(d)])
+    return n, mean, exx
+
+
+def _sample_hyper(
+    n: int,
+    xbar: np.ndarray,
+    exx: np.ndarray,
+    rng: np.random.Generator,
+    beta0: float = 2.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gaussian-Wishart posterior draw (mu, Λ) from factor moments."""
+    d = len(xbar)
+    S = exx - np.outer(xbar, xbar)  # biased covariance, matches np.cov bias=True
+    nu0, W0_inv = d, np.eye(d)
+    beta_star = beta0 + n
+    nu_star = nu0 + n
+    Winv = W0_inv + n * S + (beta0 * n / beta_star) * np.outer(xbar, xbar)
+    Lam = _wishart(rng, nu_star, np.linalg.inv(Winv))
+    mu_mean = (n * xbar) / beta_star  # prior mean mu0 = 0
+    cov = np.linalg.inv(beta_star * Lam)
+    mu = mu_mean + np.linalg.cholesky(cov) @ rng.standard_normal(d)
+    return mu, Lam
+
+
+def pmf(
+    ratings: DataFrame,
+    d: int = 5,
+    iterations: int = 6,
+    burn_in: int = 2,
+    alpha: float = ALPHA,
+) -> tuple[DataFrame, DataFrame, list[dict]]:
+    """Returns (user_factors, item_factors, history) where history rows
+    carry {iter, train_rmse} of the post-burn-in averaged predictions
+    (pre-burn-in: RMSE of the current sample)."""
+    r = ratings.select("user", "item", F.col("rating").cast("double")).cache()
+    user_f = _init_factors(r.select("user").distinct(), "user", d).localCheckpoint(
+        eager=True
+    )
+    item_f = _init_factors(r.select("item").distinct(), "item", d).localCheckpoint(
+        eager=True
+    )
+
+    def gibbs_side(side_f, fixed_f, group_col, other_col, sweep, side_id):
+        n, xbar, exx = _factor_moments(side_f, d)
+        hyper_rng = np.random.default_rng(1_000_003 * sweep + side_id + 1)
+        mu_h, lam_h = _sample_hyper(n, xbar, exx, hyper_rng)
+        lam_mu = lam_h @ mu_h
+
+        schema = StructType(
+            [
+                StructField(group_col, LongType()),
+                StructField("factors", ArrayType(DoubleType())),
+            ]
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys, out = [], []
+            for key, grp in pdf.groupby(group_col, sort=True):
+                A = np.vstack(grp["_f"].to_numpy())
+                b = grp["rating"].to_numpy()
+                lam_star = lam_h + alpha * (A.T @ A)
+                cov = np.linalg.inv(lam_star)
+                mean = cov @ (alpha * (A.T @ b) + lam_mu)
+                rng = np.random.default_rng(
+                    (int(key) * 2654435761 + sweep * 97 + side_id) & 0x7FFFFFFF
+                )
+                x = mean + np.linalg.cholesky(cov) @ rng.standard_normal(d)
+                keys.append(key)
+                out.append([float(v) for v in x])
+            return pd.DataFrame({group_col: keys, "factors": out})
+
+        joined = (
+            r.join(
+                fixed_f.select(F.col(other_col), F.col("factors").alias("_f")),
+                other_col,
+            )
+            .select(
+                group_col,
+                "rating",
+                "_f",
+                F.pmod(F.col(group_col), F.lit(NUM_SOLVE_BLOCKS)).alias("_blk"),
+            )
+        )
+        return (
+            joined.groupBy("_blk")
+            .applyInPandas(run, schema)
+            .localCheckpoint(eager=True)
+        )
+
+    avg = None  # (user, item, rating, cum): running sum of predictions
+    n_avg = 0
+    history: list[dict] = []
+    for it in range(iterations):
+        user_f = gibbs_side(user_f, item_f, "user", "item", it, 0)
+        item_f = gibbs_side(item_f, user_f, "item", "user", it, 1)
+        pred = (
+            r.join(user_f.select("user", F.col("factors").alias("_uf")), "user")
+            .join(item_f.select("item", F.col("factors").alias("_if")), "item")
+            .select(
+                "user",
+                "item",
+                "rating",
+                F.aggregate(
+                    F.zip_with("_uf", "_if", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("p"),
+            )
+        )
+        if it >= burn_in:
+            if avg is None:
+                avg = pred.select("user", "item", "rating", F.col("p").alias("cum"))
+            else:
+                avg = (
+                    avg.join(pred.select("user", "item", "p"), ["user", "item"])
+                    .select(
+                        "user", "item", "rating",
+                        (F.col("cum") + F.col("p")).alias("cum"),
+                    )
+                )
+            avg = avg.localCheckpoint(eager=True)
+            n_avg += 1
+            scored = avg.select(
+                "rating", (F.col("cum") / F.lit(float(n_avg))).alias("prediction")
+            )
+        else:
+            scored = pred.select("rating", F.col("p").alias("prediction"))
+        rmse = scored.agg(
+            F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
+        ).collect()[0][0]
+        history.append({"iter": it, "train_rmse": float(rmse)})
+    return user_f, item_f, history

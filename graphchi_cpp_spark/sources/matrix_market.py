@@ -52,10 +52,26 @@ def kfold_split(
     """K-fold CV filter (S7's ``decide_if_edge_is_active``): fold
     membership by deterministic hash of (user, item) — the reference uses
     sequential edge index; hashing gives the same marginal split without
-    an ordering dependency."""
-    bucket = F.pmod(F.xxhash64("user", "item"), F.lit(k))
-    cond = bucket != fold if training else bucket == fold
+    an ordering dependency. Uses the md5-derived cross-engine hash so a
+    DuckDB oracle reproduces the exact same folds (``kfold_bucket_sql``).
+    """
+    cond = kfold_bucket(k) != fold if training else kfold_bucket(k) == fold
     return ratings.filter(cond)
+
+
+def kfold_bucket(k: int):
+    """Fold bucket expression over (user, item) — cross-engine stable."""
+    from graphchi_cpp_spark.operators.text import md5_long
+
+    return F.pmod(md5_long(F.concat_ws("_", "user", "item")), F.lit(k))
+
+
+def kfold_bucket_sql(k: int) -> str:
+    """The DuckDB twin of ``kfold_bucket`` (same md5 primitive)."""
+    return (
+        "(('0x' || substr(md5(concat(\"user\", '_', item)), 1, 15))::BIGINT"
+        f" % {k})"
+    )
 
 
 def write_matrix_market_sharded(

@@ -64,6 +64,17 @@ def test_itemcf_power_user_cap(spark):
     assert sims[(100, 101)] == pytest.approx(1.0)
 
 
+def test_itemcf_cv_folds(spark, sf_dir):
+    from graphchi_cpp_spark.cf.itemcf import itemcf_cv
+
+    r = ratings(spark, sf_dir)
+    out = itemcf_cv(r, k_folds=3).collect()
+    assert len(out) == 3
+    for row in out:
+        assert 0.0 <= row["mean_ap"] <= 1.0
+        assert row["n_users"] > 0
+
+
 def test_itemcf_vs_duckdb(spark, sf_dir, duck):
     r = ratings(spark, sf_dir)
     for metric in ("jaccard", "cosine", "aa", "ra"):

@@ -132,6 +132,52 @@ def test_sgd_invalid_loss_combination(spark, sf_dir):
         sgd(r, variant="sgd", loss="abs")
 
 
+def test_pmf_avg_rmse_descends_deterministic(spark, sf_dir):
+    from graphchi_cpp_spark.cf.pmf import pmf
+
+    r = ratings(spark, sf_dir)
+    _, _, h1 = pmf(r, d=4, iterations=4, burn_in=1)
+    rmses = [h["train_rmse"] for h in h1]
+    # averaged-prediction RMSE descends from the first post-burn-in sample
+    assert rmses[-1] < rmses[1]
+    _, _, h2 = pmf(r, d=4, iterations=4, burn_in=1)
+    assert rmses == [h["train_rmse"] for h in h2]  # seeded draws
+
+
+def test_climf_objective_ascends(spark, sf_dir):
+    from graphchi_cpp_spark.cf.climf import climf, smoothed_mrr
+
+    r = ratings(spark, sf_dir)
+    U, V, hist = climf(r, d=4, iterations=3, gamma=0.005)
+    objs = [h["objective"] for h in hist]
+    assert objs[-1] > objs[0]  # maximization
+    rel = r.filter(F.col("rating") >= 4.0)
+    mrr = smoothed_mrr(U, V, rel)
+    assert mrr.count() > 0
+
+
+def test_rbm_rmse_descends_deterministic(spark, sf_dir):
+    from graphchi_cpp_spark.cf.rbm import rbm
+
+    r = ratings(spark, sf_dir)
+    _, _, h1 = rbm(r, d=6, iterations=3)
+    rmses = [h["train_rmse"] for h in h1]
+    assert rmses[-1] < rmses[0]
+    _, _, h2 = rbm(r, d=6, iterations=3)
+    assert rmses == [h["train_rmse"] for h in h2]  # seeded CD sampling
+
+
+def test_fm_converges_with_extra_field(spark, sf_dir):
+    from graphchi_cpp_spark.cf.fm import fm
+
+    r = ratings(spark, sf_dir).withColumn(
+        "tbin", F.pmod(F.col("user") + F.col("item"), F.lit(6))
+    )
+    _, hist = fm(r, feature_cols=["user", "item", "tbin"], d=4, iterations=3)
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+
+
 def test_wals_weighted(spark, sf_dir):
     from graphchi_cpp_spark.cf.als import als
 
