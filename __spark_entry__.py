@@ -358,22 +358,27 @@ def _register_cf():
     def q_itemcf_cv(spark, sf_dir):
         return itemcf_cv(ratings(spark, sf_dir), k_folds=3)
 
-    @query("als_rmse_history")  # iterative pandas-UDF solve — rows-only check
+    from graphchi_cpp_spark.cf.als import als_recommend_sql, als_sql
+
+    # d=2: the 2x2 normal equations unroll to closed-form SQL, making the
+    # full ALS trajectory (and the factor-based recommendations below)
+    # hash-checkable; d=5 runs stay covered by tests + als_ml_rmse
+    @query("als_rmse_history", als_sql(RATINGS_SQL, iterations=3))
     def q_als_history(spark, sf_dir):
-        _, _, hist = als(ratings(spark, sf_dir), d=5, iterations=3)
+        _, _, hist = als(ratings(spark, sf_dir), d=2, iterations=3)
         return spark.createDataFrame(
             [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
             "iter int, train_rmse double",
         )
 
-    @query("als_recommend")  # factor-based top-K — rows-only check
+    @query("als_recommend", als_recommend_sql(RATINGS_SQL, iterations=2, k=3))
     def q_als_recommend(spark, sf_dir):
         r = ratings(spark, sf_dir)
-        uf, itf, _ = als(r, d=5, iterations=2)
+        uf, itf, _ = als(r, d=2, iterations=2)
         # restrict to a deterministic user subset to bound the crossJoin
         uf = uf.filter(F.col("user") % 100 == 0)
-        return recommend_top_k(uf, itf, seen=r, k=3).select(
-            "user", "item", F.round("score", 4).alias("score"), "rank"
+        return recommend_top_k(uf, itf, seen=r, k=3, score_ndigits=4).select(
+            "user", "item", "score", F.col("rank").cast("long")
         )
 
 
@@ -641,30 +646,42 @@ def _register_ml_extras():
             "iter int, train_rmse double",
         )
 
-    @query("als_coord_rmse_history")  # CCD numpy sweeps — rows-only
+    from graphchi_cpp_spark.cf.als_variants import (
+        als_coord_sql,
+        als_tensor_sql,
+        sparse_als_sql,
+    )
+
+    # d=2 versions: the 2x2 closed forms make all three ALS variants
+    # fully SQL-expressible (CCD sweeps, prune-after-solve CoSaMP,
+    # product design rows) — hash-checked trajectories
+    @query("als_coord_rmse_history", als_coord_sql(RATINGS_SQL, iterations=3))
     def q_als_coord(spark, sf_dir):
         from graphchi_cpp_spark.cf.als_variants import als_coord
 
-        _, _, hist = als_coord(ratings(spark, sf_dir), d=4, iterations=3)
+        _, _, hist = als_coord(ratings(spark, sf_dir), d=2, iterations=3)
         return _hist_df(spark, hist)
 
-    @query("sparse_als_rmse_history")  # CoSaMP local solves — rows-only
+    @query("sparse_als_rmse_history", sparse_als_sql(RATINGS_SQL, iterations=3))
     def q_sparse_als(spark, sf_dir):
         from graphchi_cpp_spark.cf.als_variants import sparse_als
 
         _, _, hist = sparse_als(
-            ratings(spark, sf_dir), d=4, iterations=3, user_sparsity=2
+            ratings(spark, sf_dir), d=2, iterations=3, user_sparsity=1
         )
         return _hist_df(spark, hist)
 
-    @query("als_tensor_rmse_history")  # 3-mode grouped solves — rows-only
+    @query(
+        "als_tensor_rmse_history",
+        als_tensor_sql(RATINGS_SQL, '("user" + item) % 6', iterations=2),
+    )
     def q_als_tensor(spark, sf_dir):
         from graphchi_cpp_spark.cf.als_variants import als_tensor
 
         r = ratings(spark, sf_dir).withColumn(
             "ts", F.pmod(F.col("user") + F.col("item"), F.lit(6))
         )
-        _, _, _, hist = als_tensor(r, d=4, iterations=2)
+        _, _, _, hist = als_tensor(r, d=2, iterations=2)
         return _hist_df(spark, hist)
 
     @query("timesvdpp_rmse_history")  # time-bias SVD++ epochs — rows-only
@@ -811,7 +828,17 @@ def _register_windows():
 
         return word_pair_mi(load_table(spark, sf_dir, "documents"), min_pairs=50)
 
-    @query("wals_rmse_history")  # weighted ALS — rows-only
+    from graphchi_cpp_spark.cf.als import als_sql as _als_sql
+    from graphchi_cpp_spark.datasets import RATINGS_SQL as _RSQL
+
+    @query(
+        "wals_rmse_history",
+        _als_sql(
+            _RSQL,
+            iterations=2,
+            weight='(1.0 + ("user" + item) % 3)',
+        ),
+    )
     def q_wals(spark, sf_dir):
         from graphchi_cpp_spark.cf.als import als
         from graphchi_cpp_spark.datasets import ratings
@@ -819,7 +846,7 @@ def _register_windows():
         r = ratings(spark, sf_dir).withColumn(
             "w", 1.0 + F.pmod(F.col("user") + F.col("item"), F.lit(3)).cast("double")
         )
-        _, _, hist = als(r, d=4, iterations=2, weight_col="w")
+        _, _, hist = als(r, d=2, iterations=2, weight_col="w")
         return spark.createDataFrame(
             [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
             "iter int, train_rmse double",

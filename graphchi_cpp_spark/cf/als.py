@@ -185,11 +185,136 @@ def als(
     return user_f, item_f, history
 
 
+def _als2_init_sql(idc: str, alias: str) -> str:
+    comps = [
+        f"(({idc} * {2654435761 + 97 * j} + {12289 * j}) % 100003) / 1000030.0"
+        for j in range(2)
+    ]
+    return f"""{alias} AS MATERIALIZED (
+      SELECT {idc} AS id, {comps[0]} AS f0, {comps[1]} AS f1
+      FROM (SELECT DISTINCT {idc} FROM r)
+    )"""
+
+
+def _als2_solve_sql(
+    out: str,
+    group: str,
+    other: str,
+    fixed: str,
+    reg: float,
+    weight: str | None = None,
+) -> str:
+    # normal equations [a b; b c] x = rhs, inv = 1/(ac - b²) [c -b; -b a];
+    # weighted form (wals.cpp): AᵀWA + λ·n·I and AᵀWb
+    w = weight or "1.0"
+    return f"""{out} AS MATERIALIZED (
+      SELECT s.id,
+             (s.c * s.rhs0 - s.b * s.rhs1) / (s.a * s.c - s.b * s.b) AS f0,
+             (s.a * s.rhs1 - s.b * s.rhs0) / (s.a * s.c - s.b * s.b) AS f1
+      FROM (
+        SELECT r.{group} AS id,
+               sum({w} * f.f0 * f.f0) + {reg} * count(*) AS a,
+               sum({w} * f.f0 * f.f1) AS b,
+               sum({w} * f.f1 * f.f1) + {reg} * count(*) AS c,
+               sum({w} * r.rating * f.f0) AS rhs0,
+               sum({w} * r.rating * f.f1) AS rhs1
+        FROM r JOIN {fixed} f ON f.id = r.{other}
+        GROUP BY r.{group}
+      ) s
+    )"""
+
+
+def _als2_ctes(
+    ratings_sql: str, iterations: int, reg: float, weight: str | None = None
+) -> list[str]:
+    """Shared unrolled-ALS CTE chain at d=2 (users solved first, so only
+    the item side carries the hash init). ``weight`` is a SQL expression
+    over r's columns for the wALS confidence weights."""
+    ctes = [f"r AS MATERIALIZED ({ratings_sql})", _als2_init_sql("item", "i0")]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            _als2_solve_sql(f"u{i}", '"user"', "item", f"i{i - 1}", reg, weight)
+        )
+        ctes.append(
+            _als2_solve_sql(f"i{i}", "item", '"user"', f"u{i}", reg, weight)
+        )
+    return ctes
+
+
+def als_sql(
+    ratings_sql: str,
+    iterations: int = 3,
+    reg: float = LAMBDA_DEFAULT,
+    ndigits: int = 4,
+    weight: str | None = None,
+) -> str:
+    """DuckDB oracle for ``als`` at d=2: the 2×2 normal equations
+    (AᵀA + λ·n·I)x = Aᵀb have a closed-form inverse, so the whole
+    alternating trajectory unrolls as grouped-sum CTEs. Init replicates
+    ``_init_factors`` exactly. Output: (iter, train_rmse) per iteration,
+    rounded — the same contract the Spark query returns. ``weight`` (a
+    SQL expression over r) turns it into the wALS oracle."""
+    ctes = _als2_ctes(ratings_sql, iterations, reg, weight)
+    rmse_selects = []
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""rmse{i} AS MATERIALIZED (
+              SELECT sqrt(avg(pow(r.rating - (u.f0 * i.f0 + u.f1 * i.f1), 2))) AS v
+              FROM r
+              JOIN u{i} u ON u.id = r."user"
+              JOIN i{i} i ON i.id = r.item
+            )"""
+        )
+        rmse_selects.append(
+            f"SELECT CAST({i - 1} AS INT) AS iter, "
+            f"round(v, {ndigits}) AS train_rmse FROM rmse{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rmse_selects)
+
+
+def als_recommend_sql(
+    ratings_sql: str,
+    iterations: int = 2,
+    reg: float = LAMBDA_DEFAULT,
+    k: int = 3,
+    users_mod: int = 100,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for the d=2 factor-based top-K recommendations
+    (M12): scores ROUNDED before ranking on both sides so near-tied dot
+    products order identically across engines."""
+    n = iterations
+    ctes = _als2_ctes(ratings_sql, iterations, reg)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        seen AS (SELECT DISTINCT "user", item FROM r),
+        q AS (SELECT id AS "user", f0, f1 FROM u{n} WHERE id % {users_mod} = 0),
+        scores AS (
+          SELECT q."user", i.id AS item,
+                 round(q.f0 * i.f0 + q.f1 * i.f1, {ndigits}) AS score
+          FROM q CROSS JOIN i{n} i
+        ),
+        unseen AS (
+          SELECT s.* FROM scores s
+          LEFT JOIN seen ON seen."user" = s."user" AND seen.item = s.item
+          WHERE seen.item IS NULL
+        )
+        SELECT "user", item, score, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY "user" ORDER BY score DESC, item ASC
+          ) AS rank FROM unseen
+        ) WHERE rank <= {k}"""
+    )
+
+
 def recommend_top_k(
     user_f: DataFrame,
     item_f: DataFrame,
     seen: DataFrame,
     k: int = 10,
+    score_ndigits: int | None = None,
 ) -> DataFrame:
     """M12 (rating/rating2): top-K unseen items per user from factors.
 
@@ -204,18 +329,19 @@ def recommend_top_k(
     """
     from graphchi_cpp_spark.operators.toplist import top_k_per_key
 
+    score = F.aggregate(
+        F.zip_with("_uf", "_if", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if score_ndigits is not None:
+        # round BEFORE ranking: near-tied dot products otherwise order
+        # differently across runs/engines (ULP noise)
+        score = F.round(score, score_ndigits)
     scores = (
         user_f.select("user", F.col("factors").alias("_uf"))
         .crossJoin(F.broadcast(item_f.select("item", F.col("factors").alias("_if"))))
-        .select(
-            "user",
-            "item",
-            F.aggregate(
-                F.zip_with("_uf", "_if", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("score"),
-        )
+        .select("user", "item", score.alias("score"))
         .join(seen.select("user", "item"), ["user", "item"], "left_anti")
     )
     return top_k_per_key(scores, "user", "score", k, tiebreak_col="item")

@@ -30,6 +30,7 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, Stru
 from graphchi_cpp_spark.cf.als import (
     LAMBDA_DEFAULT,
     NUM_SOLVE_BLOCKS,
+    _als2_init_sql,
     _init_factors,
     predict,
 )
@@ -139,6 +140,187 @@ def als_coord(
         ).localCheckpoint(eager=True)
         history.append({"iter": it, "train_rmse": _rmse(r, user_f, item_f)})
     return user_f, item_f, history
+
+
+def _ccd_sums_sql(group: str, other: str, fixed: str, reg: float) -> str:
+    """Per-entity sufficient statistics for the d=2 coordinate updates."""
+    return f"""(
+        SELECT r.{group} AS id,
+               sum(f.f0 * f.f0) + {reg} * count(*) AS a,
+               sum(f.f0 * f.f1) AS b,
+               sum(f.f1 * f.f1) + {reg} * count(*) AS c,
+               sum(r.rating * f.f0) AS rhs0,
+               sum(r.rating * f.f1) AS rhs1
+        FROM r JOIN {fixed} f ON f.id = r.{other}
+        GROUP BY r.{group}
+      )"""
+
+
+def als_coord_sql(
+    ratings_sql: str,
+    iterations: int = 3,
+    reg: float = LAMBDA_DEFAULT,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for ``als_coord`` at d=2. One CCD sweep in closed
+    form: x0' = (rhs0 − b·x1)/a, then x1' = (rhs1 − b·x0')/c (the second
+    coordinate sees the refreshed first — DuckDB lateral column aliases
+    express the in-sweep dependency)."""
+    ctes = [
+        f"r AS MATERIALIZED ({ratings_sql})",
+        _als2_init_sql('"user"', "u0"),
+        _als2_init_sql("item", "i0"),
+    ]
+    rmse_selects = []
+    for i in range(1, iterations + 1):
+        for out, prev, group, other, fixed in (
+            (f"u{i}", f"u{i - 1}", '"user"', "item", f"i{i - 1}"),
+            (f"i{i}", f"i{i - 1}", "item", '"user"', f"u{i}"),
+        ):
+            # nf0/nf1 alias names must not collide with p's f0/f1 —
+            # DuckDB resolves real columns BEFORE lateral aliases, so an
+            # alias named f0 would silently read the stale p.f0
+            ctes.append(
+                f"""{out} AS MATERIALIZED (
+                  SELECT id, nf0 AS f0, nf1 AS f1 FROM (
+                    SELECT s.id,
+                           (s.rhs0 - p.f1 * s.b) / s.a AS nf0,
+                           (s.rhs1 - nf0 * s.b) / s.c AS nf1
+                    FROM {_ccd_sums_sql(group, other, fixed, reg)} s
+                    JOIN {prev} p ON p.id = s.id
+                  )
+                )"""
+            )
+        ctes.append(
+            f"""rmse{i} AS MATERIALIZED (
+              SELECT sqrt(avg(pow(r.rating - (u.f0 * i.f0 + u.f1 * i.f1), 2))) AS v
+              FROM r
+              JOIN u{i} u ON u.id = r."user"
+              JOIN i{i} i ON i.id = r.item
+            )"""
+        )
+        rmse_selects.append(
+            f"SELECT CAST({i - 1} AS INT) AS iter, "
+            f"round(v, {ndigits}) AS train_rmse FROM rmse{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rmse_selects)
+
+
+def sparse_als_sql(
+    ratings_sql: str,
+    iterations: int = 3,
+    reg: float = LAMBDA_DEFAULT,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for ``sparse_als`` at d=2 with user_sparsity=1: at
+    this size CoSaMP's candidate support is always both coordinates, so
+    each inner iteration reduces to the dense 2×2 solve followed by
+    keep-the-larger-|coordinate| pruning (and further inner iterations
+    are identity)."""
+    ctes = [
+        f"r AS MATERIALIZED ({ratings_sql})",
+        _als2_init_sql("item", "i0"),
+    ]
+    rmse_selects = []
+    dense = (
+        "(s.c * s.rhs0 - s.b * s.rhs1) / (s.a * s.c - s.b * s.b)",
+        "(s.a * s.rhs1 - s.b * s.rhs0) / (s.a * s.c - s.b * s.b)",
+    )
+    for i in range(1, iterations + 1):
+        # user side: dense solve then prune to the single largest |coord|
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+              SELECT s.id,
+                     {dense[0]} AS x0, {dense[1]} AS x1,
+                     CASE WHEN abs(x0) >= abs(x1) THEN x0 ELSE 0.0 END AS f0,
+                     CASE WHEN abs(x0) >= abs(x1) THEN 0.0 ELSE x1 END AS f1
+              FROM {_ccd_sums_sql('"user"', "item", f"i{i - 1}", reg)} s
+            )"""
+        )
+        # item side: dense
+        ctes.append(
+            f"""i{i} AS MATERIALIZED (
+              SELECT s.id, {dense[0]} AS f0, {dense[1]} AS f1
+              FROM {_ccd_sums_sql("item", '"user"', f"u{i}", reg)} s
+            )"""
+        )
+        ctes.append(
+            f"""rmse{i} AS MATERIALIZED (
+              SELECT sqrt(avg(pow(r.rating - (u.f0 * i.f0 + u.f1 * i.f1), 2))) AS v
+              FROM r
+              JOIN u{i} u ON u.id = r."user"
+              JOIN i{i} i ON i.id = r.item
+            )"""
+        )
+        rmse_selects.append(
+            f"SELECT CAST({i - 1} AS INT) AS iter, "
+            f"round(v, {ndigits}) AS train_rmse FROM rmse{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rmse_selects)
+
+
+def als_tensor_sql(
+    ratings_sql: str,
+    time_expr: str,
+    iterations: int = 2,
+    reg: float = LAMBDA_DEFAULT,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for ``als_tensor`` at d=2: each mode's design row is
+    the elementwise product of the other two modes' factors; the 2×2
+    closed-form solve applies unchanged. ``time_expr`` is the SQL for the
+    discrete time bin over the ratings columns."""
+    ctes = [
+        f"""r AS MATERIALIZED (
+          SELECT "user", item, rating, {time_expr} AS t
+          FROM ({ratings_sql})
+        )""",
+        _als2_init_sql('"user"', "mu0"),
+        _als2_init_sql("item", "mv0"),
+        _als2_init_sql("t", "mt0"),
+    ]
+
+    def solve(out, group, o1, f1, o2, f2):
+        return f"""{out} AS MATERIALIZED (
+          SELECT s.id,
+                 (s.c * s.rhs0 - s.b * s.rhs1) / (s.a * s.c - s.b * s.b) AS f0,
+                 (s.a * s.rhs1 - s.b * s.rhs0) / (s.a * s.c - s.b * s.b) AS f1
+          FROM (
+            SELECT r.{group} AS id,
+                   sum((p1.f0 * p2.f0) * (p1.f0 * p2.f0)) + {reg} * count(*) AS a,
+                   sum((p1.f0 * p2.f0) * (p1.f1 * p2.f1)) AS b,
+                   sum((p1.f1 * p2.f1) * (p1.f1 * p2.f1)) + {reg} * count(*) AS c,
+                   sum(r.rating * (p1.f0 * p2.f0)) AS rhs0,
+                   sum(r.rating * (p1.f1 * p2.f1)) AS rhs1
+            FROM r
+            JOIN {f1} p1 ON p1.id = r.{o1}
+            JOIN {f2} p2 ON p2.id = r.{o2}
+            GROUP BY r.{group}
+          ) s
+        )"""
+
+    rmse_selects = []
+    for i in range(1, iterations + 1):
+        ctes.append(
+            solve(f"mu{i}", '"user"', "item", f"mv{i - 1}", "t", f"mt{i - 1}")
+        )
+        ctes.append(solve(f"mv{i}", "item", '"user"', f"mu{i}", "t", f"mt{i - 1}"))
+        ctes.append(solve(f"mt{i}", "t", '"user"', f"mu{i}", "item", f"mv{i}"))
+        ctes.append(
+            f"""rmse{i} AS MATERIALIZED (
+              SELECT sqrt(avg(pow(
+                r.rating - (u.f0 * v.f0 * t.f0 + u.f1 * v.f1 * t.f1), 2))) AS v
+              FROM r
+              JOIN mu{i} u ON u.id = r."user"
+              JOIN mv{i} v ON v.id = r.item
+              JOIN mt{i} t ON t.id = r.t
+            )"""
+        )
+        rmse_selects.append(
+            f"SELECT CAST({i - 1} AS INT) AS iter, "
+            f"round(v, {ndigits}) AS train_rmse FROM rmse{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rmse_selects)
 
 
 # --------------------------------------------------------------------- #
