@@ -157,14 +157,24 @@ def als(
     user_f = None
     history: list[dict] = []
     prev_val = float("inf")
+    spent: list[DataFrame] = []
 
     for it in range(iterations):
+        # cache, not eager checkpoint: the per-iteration RMSE action
+        # materializes both half-steps in ONE job (3 jobs per iteration
+        # with eager checkpoints, 1 without); lineage depth stays linear
+        # and is cut every 4 iterations for long tol-style runs
         user_f = _solve_side(
             ratings, item_f, "user", "item", d, reg, weight_col
-        ).localCheckpoint(eager=True)
+        ).cache()
         item_f = _solve_side(
             ratings, user_f, "item", "user", d, reg, weight_col
-        ).localCheckpoint(eager=True)
+        ).cache()
+        if (it + 1) % 4 == 0:
+            user_f = user_f.localCheckpoint(eager=True)
+            item_f = item_f.localCheckpoint(eager=True)
+        spent.append(user_f)
+        spent.append(item_f)
         row = {"iter": it}
         row["train_rmse"] = (
             predict(ratings, user_f, item_f)
@@ -182,6 +192,8 @@ def als(
                 break
             prev_val = row["validation_rmse"]
         history.append(row)
+    for df in spent[:-2]:
+        df.unpersist()
     return user_f, item_f, history
 
 

@@ -10,11 +10,15 @@ scalars αβ on the driver).
 Spark mapping of the matvec (the only heavy op):
     (A·v)[u]  = Σ_i r(u,i)·v[i]  →  ratings ⋈ v(item) → groupBy(user).sum
     (Aᵀ·u)[i] = Σ_u r(u,i)·u[u]  →  ratings ⋈ u(user) → groupBy(item).sum
-Full reorthogonalization against stored basis vectors (DataFrame joins +
-dot-product aggregates) keeps numerical sanity for small K.
 
-Scale: each Lanczos step = 2 shuffle-bounded matvecs + O(K) dot products;
-basis vectors are O(M+N) rows each — cache/checkpoint per step.
+Full reorthogonalization is BATCHED: the basis lives in one wide
+DataFrame (key, b0..b_{j-1}), so all j dot products against the basis are
+ONE aggregate and the deflation w −= Σ c_i·b_i is ONE select — two jobs
+per half-step regardless of step count (the r1 review flagged the
+previous one-job-per-dot O(K²) pattern).
+
+Scale: each Lanczos step = 2 shuffle-bounded matvecs + 2 aggregates;
+the basis DataFrame is O((M+N)·K) — checkpointed per step.
 """
 
 from __future__ import annotations
@@ -23,26 +27,54 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
-def _dot_df(a: DataFrame, b: DataFrame, key: str) -> float:
-    j = a.join(b.withColumnRenamed("x", "y"), key)
-    row = j.agg(F.sum(F.col("x") * F.col("y")).alias("d")).collect()[0]
-    return float(row["d"] or 0.0)
-
-
-def _scale(v: DataFrame, s: float) -> DataFrame:
-    return v.select(v.columns[0], (F.col("x") * s).alias("x"))
-
-
-def _axpy(v: DataFrame, w: DataFrame, alpha: float, key: str) -> DataFrame:
-    """v - alpha*w elementwise (outer join, missing = 0)."""
+def _matvec(r: DataFrame, vec: DataFrame, join_key: str, group_key: str) -> DataFrame:
     return (
-        v.join(w.withColumnRenamed("x", "y"), key, "full_outer")
+        r.join(vec.select(F.col(join_key), "x"), join_key)
+        .groupBy(group_key)
+        .agg(F.sum(F.col("rating") * F.col("x")).alias("x"))
+    )
+
+
+def _orthogonalize(
+    w: DataFrame, basis: DataFrame | None, nb: int, key: str
+) -> tuple[DataFrame, float]:
+    """Deflate ``w`` against the ``nb`` basis columns of ``basis`` and
+    return (normalized vector, norm). One aggregate computes every basis
+    dot AND (after deflation, a second aggregate) the norm."""
+    if basis is not None and nb > 0:
+        j = w.join(basis, key, "full_outer").select(
+            key,
+            F.coalesce("x", F.lit(0.0)).alias("x"),
+            *[F.coalesce(f"b{i}", F.lit(0.0)).alias(f"b{i}") for i in range(nb)],
+        )
+        j = j.localCheckpoint(eager=True)
+        dots = j.agg(
+            *[F.sum(F.col("x") * F.col(f"b{i}")).alias(f"c{i}") for i in range(nb)]
+        ).collect()[0]
+        cs = [float(dots[f"c{i}"] or 0.0) for i in range(nb)]
+        deflate = F.col("x")
+        for i, c in enumerate(cs):
+            deflate = deflate - F.lit(c) * F.col(f"b{i}")
+        w = j.select(key, deflate.alias("x"))
+    w = w.localCheckpoint(eager=True)
+    norm2 = w.agg(F.sum(F.col("x") * F.col("x")).alias("n")).collect()[0]["n"]
+    return w, float(np.sqrt(max(norm2 or 0.0, 0.0)))
+
+
+def _append_basis(
+    basis: DataFrame | None, vec: DataFrame, nb: int, key: str
+) -> DataFrame:
+    col = vec.select(key, F.col("x").alias(f"b{nb}"))
+    if basis is None:
+        return col.localCheckpoint(eager=True)
+    return (
+        basis.join(col, key, "full_outer")
         .select(
             key,
-            (F.coalesce("x", F.lit(0.0)) - alpha * F.coalesce("y", F.lit(0.0))).alias(
-                "x"
-            ),
+            *[F.coalesce(f"b{i}", F.lit(0.0)).alias(f"b{i}") for i in range(nb)],
+            F.coalesce(f"b{nb}", F.lit(0.0)).alias(f"b{nb}"),
         )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -60,54 +92,61 @@ def lanczos_svd(
 
     # v0 = normalized ones over items
     n_items = items.count()
-    v = items.select("item", F.lit(1.0 / np.sqrt(n_items)).alias("x")).localCheckpoint(
-        eager=True
-    )
+    v = items.select(
+        "item", F.lit(1.0 / np.sqrt(n_items)).alias("x")
+    ).localCheckpoint(eager=True)
 
-    Vs: list[DataFrame] = [v]
-    Us: list[DataFrame] = []
+    U_basis: DataFrame | None = None
+    V_basis: DataFrame | None = _append_basis(None, v, 0, "item")
+    last_u: DataFrame | None = None
     alphas: list[float] = []
     betas: list[float] = []
 
     for j in range(steps):
-        # u = A v  (minus beta * previous u)
-        Av = (
-            r.join(v.select(F.col("item"), "x"), "item")
-            .groupBy("user")
-            .agg(F.sum(F.col("rating") * F.col("x")).alias("x"))
-        )
-        if Us:
-            Av = _axpy(Av, Us[-1], betas[-1], "user")
-        # full reorthogonalization against U basis
-        for ub in Us:
-            c = _dot_df(Av, ub, "user")
-            Av = _axpy(Av, ub, c, "user")
-        Av = Av.localCheckpoint(eager=True)
-        alpha = float(np.sqrt(max(_dot_df(Av, Av, "user"), 0.0)))
+        # u = A v  (minus beta * previous u), then orthogonalize vs U
+        Av = _matvec(r, v, "item", "user")
+        if last_u is not None:
+            Av = (
+                Av.join(last_u.select("user", F.col("x").alias("y")), "user",
+                        "full_outer")
+                .select(
+                    "user",
+                    (
+                        F.coalesce("x", F.lit(0.0))
+                        - betas[-1] * F.coalesce("y", F.lit(0.0))
+                    ).alias("x"),
+                )
+            )
+        u, alpha = _orthogonalize(Av, U_basis, len(alphas), "user")
         if alpha < 1e-12:
             break
-        u = _scale(Av, 1.0 / alpha).localCheckpoint(eager=True)
-        alphas.append(alpha)
-        Us.append(u)
-
-        # w = Aᵀ u - alpha * v
-        Atu = (
-            r.join(u.select(F.col("user"), "x"), "user")
-            .groupBy("item")
-            .agg(F.sum(F.col("rating") * F.col("x")).alias("x"))
+        u = u.select("user", (F.col("x") / alpha).alias("x")).localCheckpoint(
+            eager=True
         )
-        Atu = _axpy(Atu, v, alpha, "item")
-        for vb in Vs:
-            c = _dot_df(Atu, vb, "item")
-            Atu = _axpy(Atu, vb, c, "item")
-        Atu = Atu.localCheckpoint(eager=True)
-        beta = float(np.sqrt(max(_dot_df(Atu, Atu, "item"), 0.0)))
+        U_basis = _append_basis(U_basis, u, len(alphas), "user")
+        alphas.append(alpha)
+        last_u = u
+
+        # w = Aᵀ u − alpha·v, orthogonalize vs V
+        Atu = _matvec(r, u, "user", "item")
+        Atu = (
+            Atu.join(v.select("item", F.col("x").alias("y")), "item", "full_outer")
+            .select(
+                "item",
+                (
+                    F.coalesce("x", F.lit(0.0)) - alpha * F.coalesce("y", F.lit(0.0))
+                ).alias("x"),
+            )
+        )
+        w, beta = _orthogonalize(Atu, V_basis, len(betas) + 1, "item")
         if beta < 1e-12:
             betas.append(0.0)
             break
-        v = _scale(Atu, 1.0 / beta).localCheckpoint(eager=True)
+        v = w.select("item", (F.col("x") / beta).alias("x")).localCheckpoint(
+            eager=True
+        )
+        V_basis = _append_basis(V_basis, v, len(betas) + 1, "item")
         betas.append(beta)
-        Vs.append(v)
 
     # driver-side bidiagonal SVD (tiny)
     m = len(alphas)
@@ -119,31 +158,20 @@ def lanczos_svd(
     ub, s, vbt = np.linalg.svd(B)
     s = s[:k]
 
-    # assemble factor DataFrames: U_k = [u_0..u_{m-1}] @ ub[:, :k]
-    def combine(basis: list[DataFrame], weights: np.ndarray, key: str) -> DataFrame:
-        out = None
-        for i, bdf in enumerate(basis):
-            part = bdf.select(
-                key, *[(F.col("x") * float(weights[i, j])).alias(f"f{j}") for j in range(k)]
-            )
-            if out is None:
-                out = part
-            else:
-                out = (
-                    out.join(part.select(key, *[F.col(f"f{j}").alias(f"g{j}") for j in range(k)]), key, "full_outer")
-                    .select(
-                        key,
-                        *[
-                            (
-                                F.coalesce(f"f{j}", F.lit(0.0))
-                                + F.coalesce(f"g{j}", F.lit(0.0))
-                            ).alias(f"f{j}")
-                            for j in range(k)
-                        ],
-                    )
-                )
-        return out.select(key, F.array(*[f"f{j}" for j in range(k)]).alias("factors"))
+    def combine(basis: DataFrame, weights: np.ndarray, key: str) -> DataFrame:
+        # factors[j] = Σ_i b_i · weights[i, j] — a single select over the
+        # wide basis frame
+        cols = []
+        for col_j in range(k):
+            expr = None
+            for i in range(m):
+                term = F.col(f"b{i}") * float(weights[i, col_j])
+                expr = term if expr is None else expr + term
+            cols.append(expr.alias(f"f{col_j}"))
+        return basis.select(key, *cols).select(
+            key, F.array(*[f"f{j}" for j in range(k)]).alias("factors")
+        )
 
-    U = combine(Us, ub[:, :k], "user")
-    V = combine(Vs[:m], vbt.T[:, :k], "item")
+    U = combine(U_basis, ub[:, :k], "user")
+    V = combine(V_basis, vbt.T[:, :k], "item")
     return s, U, V
