@@ -72,8 +72,8 @@ def pagerank(
         .repartition(p, "id")
         .cache()
     )
-    v.count()  # materialize both caches before the loop
-
+    # caches stay lazy: the first action (delta collect in tol mode, the
+    # final count otherwise) materializes edges+v once and reuses them
     lazy_states: list[DataFrame] = []  # supersteps deferred to one final job
     for it in range(max_iter):
         msgs = (
