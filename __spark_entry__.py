@@ -606,6 +606,37 @@ def _register_parsers_streaming():
         for s in (1, 2, 3)
     ]
 
+    # C8/X2/X3: tombstone deletes + buffer visibility + compaction — the
+    # visible edge set is pure set algebra, so the oracle is direct SQL
+    @query(
+        "streaming_edges_after_deletes",
+        f"""
+        WITH e AS ({ORDERFLOW_EDGES_SQL}),
+        base AS (SELECT src, dst FROM e WHERE (src + dst) % 4 <= 1),
+        adds AS (SELECT src, dst FROM e WHERE (src + dst) % 4 = 2),
+        dels AS (SELECT src, dst FROM base WHERE (src * 3 + dst) % 7 = 0)
+        SELECT DISTINCT b.src, b.dst
+        FROM (SELECT * FROM base UNION SELECT * FROM adds) b
+        LEFT JOIN dels d ON d.src = b.src AND d.dst = b.dst
+        WHERE d.src IS NULL
+        """,
+    )
+    def q_streaming_deletes(spark, sf_dir):
+        from graphchi_cpp_spark.streaming.ingest import DynamicGraph
+
+        e = _memo(
+            spark, sf_dir, "edges_orderflow", lambda: orderflow_edges(spark, sf_dir)
+        )
+        base = e.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) <= 1)
+        dg = DynamicGraph(base)
+        adds = e.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == 2)
+        dels = base.filter(F.pmod(F.col("src") * 3 + F.col("dst"), F.lit(7)) == 0)
+        dg.ingest_batch(adds.withColumn("op", F.lit("add")))
+        dg.ingest_batch(dels.withColumn("op", F.lit("delete")))
+        if dg.should_compact():
+            dg.compact()  # X3: fold buffer into the rewritten base
+        return dg.edges().select("src", "dst")
+
     @query(
         "streaming_pagerank",
         streaming_pagerank_sql(_STREAM_STAGES, supersteps_per_batch=3),
