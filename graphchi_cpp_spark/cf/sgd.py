@@ -69,6 +69,8 @@ def sgd(
     loss: str = "square",
     time_col: str | None = None,
     step_dec: float = 1.0,
+    validation: DataFrame | None = None,
+    halt_on_rmse_increase: bool = False,
 ) -> tuple[DataFrame, DataFrame, list[dict]]:
     """Returns (user_factors, item_factors, history). variant ∈
     {'sgd','biassgd','svdpp'} (biases folded into factor slots d and d+1
@@ -262,36 +264,59 @@ def sgd(
                 .agg((F.sum(F.col("b") * F.col("n_upd")) / F.sum("n_upd")).alias("b"))
                 .localCheckpoint(eager=True)
             )
-        preds = (
-            r.select("user", "item", "rating", "tbin")
-            .join(user_f.select("user", F.col("factors").alias("_uf")), "user")
-            .join(item_f.select("item", F.col("factors").alias("_if")), "item")
-            .select(
-                "rating",
-                "tbin",
-                F.aggregate(
-                    F.zip_with("_uf", "_if", lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("prediction"),
+        def _rmse_of(dataset: DataFrame) -> float:
+            preds = (
+                dataset.join(
+                    user_f.select("user", F.col("factors").alias("_uf")), "user"
+                )
+                .join(item_f.select("item", F.col("factors").alias("_if")), "item")
+                .select(
+                    "rating",
+                    "tbin",
+                    F.aggregate(
+                        F.zip_with("_uf", "_if", lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("prediction"),
+                )
             )
-        )
-        if use_bias:
-            preds = preds.withColumn("prediction", F.col("prediction") + mu)
-        if use_time:
-            preds = preds.join(tb_f, "tbin", "left").withColumn(
-                "prediction",
-                F.col("prediction") + F.coalesce("b", F.lit(0.0)),
+            if use_bias:
+                preds = preds.withColumn("prediction", F.col("prediction") + mu)
+            if use_time:
+                preds = preds.join(tb_f, "tbin", "left").withColumn(
+                    "prediction",
+                    F.col("prediction") + F.coalesce("b", F.lit(0.0)),
+                )
+            if loss == "logistic":
+                # report RMSE in the original rating scale
+                preds = preds.withColumn(
+                    "prediction",
+                    F.lit(r_lo)
+                    + F.lit(r_span) / (F.lit(1.0) + F.exp(-F.col("prediction"))),
+                )
+            v = preds.agg(
+                F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
+            ).collect()[0][0]
+            # diverged runs overflow to NaN/null — report inf so the
+            # early-stop comparison still fires
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                return float("inf")
+            return float(v)
+
+        row = {"iter": it, "train_rmse": _rmse_of(r.select("user", "item", "rating", "tbin"))}
+        if validation is not None:
+            # reference rmse_engine: score the held-out set with current
+            # factors (pairs with unseen users/items are skipped)
+            vset = validation.select(
+                "user", "item", F.col("rating").cast("double"), *tcols
             )
-        if loss == "logistic":
-            # report RMSE in the original rating scale
-            preds = preds.withColumn(
-                "prediction",
-                F.lit(r_lo)
-                + F.lit(r_span) / (F.lit(1.0) + F.exp(-F.col("prediction"))),
+            row["validation_rmse"] = _rmse_of(vset)
+            diverged = not np.isfinite(row["validation_rmse"])
+            increased = history and row["validation_rmse"] > history[-1].get(
+                "validation_rmse", float("inf")
             )
-        rmse = preds.agg(
-            F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
-        ).collect()[0][0]
-        history.append({"iter": it, "train_rmse": float(rmse)})
+            if halt_on_rmse_increase and (diverged or increased):
+                history.append(row)
+                break
+        history.append(row)
     return user_f, item_f, history

@@ -126,6 +126,28 @@ def test_biassgd2_losses_converge(spark, sf_dir):
         assert rmses[-1] < rmses[0], (loss, rmses)
 
 
+def test_sgd_validation_and_early_stop(spark, sf_dir):
+    """Reference --halt_on_rmse_increase parity (unittest.sh:19): the
+    history carries validation RMSE and the loop stops on an increase."""
+    from graphchi_cpp_spark.sources.matrix_market import kfold_split
+
+    r = ratings(spark, sf_dir)
+    train = kfold_split(r, 5, 0, training=True)
+    val = kfold_split(r, 5, 0, training=False)
+    _, _, hist = sgd(
+        train, d=4, iterations=3, gamma=0.02,
+        validation=val, halt_on_rmse_increase=True,
+    )
+    assert all("validation_rmse" in h for h in hist)
+    assert len(hist) <= 3
+    # an aggressive step forces divergence -> early halt before iter 6
+    _, _, hist2 = sgd(
+        train, d=4, iterations=6, gamma=0.5,
+        validation=val, halt_on_rmse_increase=True,
+    )
+    assert len(hist2) < 6
+
+
 def test_sgd_invalid_loss_combination(spark, sf_dir):
     r = ratings(spark, sf_dir)
     with pytest.raises(ValueError):
