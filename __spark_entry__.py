@@ -471,6 +471,45 @@ def _register_pipeline_ops():
     def q_emb_near_dups(spark, sf_dir):
         return lsh_near_dups(_emb(spark, sf_dir), threshold=0.45)
 
+    # multimodal plumbing (mapInPandas decode stub) verified end-to-end:
+    # the synthetic payload bytes are formula-deterministic, so DuckDB
+    # recomputes n_bytes and the float32 feature checksum independently
+    @query(
+        "multimodal_features",
+        """
+        SELECT i AS media_id,
+               CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+               CAST(64 + (i % 5) * 16 AS BIGINT) AS n_bytes,
+               round((
+                 SELECT sum(CAST(CAST((i * 31 + j * 7) % 251 AS FLOAT)
+                                 / CAST(255.0 AS FLOAT) AS DOUBLE))
+                 FROM range(16) t(j)
+               ), 4) AS feat_sum
+        FROM range(100) r(i)
+        """,
+    )
+    def q_multimodal(spark, sf_dir):
+        from graphchi_cpp_spark.operators.multimodal import (
+            extract_features,
+            synthetic_media,
+        )
+
+        feats = extract_features(synthetic_media(spark, 100), dim=16)
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.round(
+                F.aggregate(
+                    F.col("feature").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                4,
+            ).alias("feat_sum"),
+        )
+
     @query("ann_cosine_topk", cosine_topk_sql("vec_id % 20 = 0", k=5))
     def q_ann_brute(spark, sf_dir):
         emb = _emb(spark, sf_dir)
