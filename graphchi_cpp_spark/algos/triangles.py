@@ -37,7 +37,11 @@ def _oriented_edges(graph: PropertyGraph, orient: str) -> DataFrame:
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .cache()  # reused by degree calc + orientation, computed in ONE job
+        # eager checkpoint, not cache: the degree calc and the orientation
+        # consume und in PARALLEL stages of one job — an unpopulated cache
+        # gets computed twice, and the downstream 3-way self-join re-reads
+        # it three more times (measured 13s -> ~28s with lazy cache)
+        .localCheckpoint(eager=True)
     )
     canon = und.filter(F.col("src") < F.col("dst"))
     if orient == "id":
@@ -70,8 +74,8 @@ def triangles(graph: PropertyGraph, orient: str = "id") -> DataFrame:
     pivot-batch in-memory adjacency, ``trianglecounting.cpp:91``). Above
     the limit: shuffle joins on b / (a,c), AQE skew-splitting hubs.
     """
-    e = _oriented_edges(graph, orient).cache()
-    small = e.count() <= BROADCAST_EDGE_LIMIT  # one job builds both caches
+    e = _oriented_edges(graph, orient).localCheckpoint(eager=True)
+    small = e.count() <= BROADCAST_EDGE_LIMIT
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
