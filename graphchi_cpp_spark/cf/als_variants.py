@@ -29,7 +29,7 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, Stru
 
 from graphchi_cpp_spark.cf.als import (
     LAMBDA_DEFAULT,
-    NUM_SOLVE_BLOCKS,
+    solve_blocks,
     _als2_init_sql,
     _init_factors,
     predict,
@@ -64,7 +64,7 @@ def _grouped_update(
 
     return (
         joined.withColumn(
-            "_blk", F.pmod(F.col(group_col), F.lit(NUM_SOLVE_BLOCKS))
+            "_blk", F.pmod(F.col(group_col), F.lit(solve_blocks(joined)))
         )
         .groupBy("_blk")
         .applyInPandas(run, _out_schema(group_col))

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
-from graphchi_cpp_spark.cf.als import NUM_SOLVE_BLOCKS, _init_factors
+from graphchi_cpp_spark.cf.als import _init_factors, solve_blocks
 
 ALPHA = 2.0
 
@@ -142,7 +142,7 @@ def pmf(
                 group_col,
                 "rating",
                 "_f",
-                F.pmod(F.col(group_col), F.lit(NUM_SOLVE_BLOCKS)).alias("_blk"),
+                F.pmod(F.col(group_col), F.lit(solve_blocks(r))).alias("_blk"),
             )
         )
         return (
