@@ -717,6 +717,16 @@ def _register_ml_extras():
             "rank int, sigma double",
         )
 
+    @query("svd_onesided_singular_values")  # Gram-matrix Lanczos — rows-only
+    def q_svd_onesided(spark, sf_dir):
+        from graphchi_cpp_spark.cf.svd import lanczos_svd_onesided
+
+        s, _, _ = lanczos_svd_onesided(_ratings(spark, sf_dir), k=3)
+        return spark.createDataFrame(
+            [(i, round(float(v), 4)) for i, v in enumerate(s)],
+            "rank int, sigma double",
+        )
+
     from graphchi_cpp_spark.cf.nmf import nmf_sql
     from graphchi_cpp_spark.datasets import RATINGS_SQL
 

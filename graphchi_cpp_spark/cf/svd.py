@@ -37,10 +37,11 @@ def _matvec(r: DataFrame, vec: DataFrame, join_key: str, group_key: str) -> Data
 
 def _orthogonalize(
     w: DataFrame, basis: DataFrame | None, nb: int, key: str
-) -> tuple[DataFrame, float]:
+) -> tuple[DataFrame, float, list[float]]:
     """Deflate ``w`` against the ``nb`` basis columns of ``basis`` and
-    return (normalized vector, norm). One aggregate computes every basis
-    dot AND (after deflation, a second aggregate) the norm."""
+    return (deflated vector, norm, basis dots). One aggregate computes
+    every basis dot AND (after deflation, a second aggregate) the norm."""
+    cs: list[float] = []
     if basis is not None and nb > 0:
         j = w.join(basis, key, "full_outer").select(
             key,
@@ -58,7 +59,7 @@ def _orthogonalize(
         w = j.select(key, deflate.alias("x"))
     w = w.localCheckpoint(eager=True)
     norm2 = w.agg(F.sum(F.col("x") * F.col("x")).alias("n")).collect()[0]["n"]
-    return w, float(np.sqrt(max(norm2 or 0.0, 0.0)))
+    return w, float(np.sqrt(max(norm2 or 0.0, 0.0))), cs
 
 
 def _append_basis(
@@ -117,7 +118,7 @@ def lanczos_svd(
                     ).alias("x"),
                 )
             )
-        u, alpha = _orthogonalize(Av, U_basis, len(alphas), "user")
+        u, alpha, _ = _orthogonalize(Av, U_basis, len(alphas), "user")
         if alpha < 1e-12:
             break
         u = u.select("user", (F.col("x") / alpha).alias("x")).localCheckpoint(
@@ -138,7 +139,7 @@ def lanczos_svd(
                 ).alias("x"),
             )
         )
-        w, beta = _orthogonalize(Atu, V_basis, len(betas) + 1, "item")
+        w, beta, _ = _orthogonalize(Atu, V_basis, len(betas) + 1, "item")
         if beta < 1e-12:
             betas.append(0.0)
             break
@@ -174,4 +175,80 @@ def lanczos_svd(
 
     U = combine(U_basis, ub[:, :k], "user")
     V = combine(V_basis, vbt.T[:, :k], "item")
+    return s, U, V
+
+
+def lanczos_svd_onesided(
+    ratings: DataFrame, k: int = 3, max_iter: int | None = None
+) -> tuple[np.ndarray, DataFrame, DataFrame]:
+    """One-sided Lanczos (``svd_onesided.cpp``): iterate on the Gram
+    matrix AᵀA keeping only the item-side basis — half the basis memory
+    of the bidiagonal form. Per step: w = Aᵀ(A·v) (two matvecs), α = v·w,
+    full reorthogonalization, β = ‖w‖. Singular values are the square
+    roots of the tridiagonal eigenvalues; U is recovered as A·v_i/σ_i.
+    """
+    steps = max_iter or (k + 3)
+    r = ratings.select("user", "item", F.col("rating").cast("double")).cache()
+    items = r.select("item").distinct()
+    n_items = items.count()
+    v = items.select(
+        "item", F.lit(1.0 / np.sqrt(n_items)).alias("x")
+    ).localCheckpoint(eager=True)
+
+    V_basis = _append_basis(None, v, 0, "item")
+    alphas: list[float] = []
+    betas: list[float] = []
+    for j in range(steps):
+        Av = _matvec(r, v, "item", "user")
+        w = _matvec(r, Av, "user", "item")  # AᵀA·v
+        w, beta, cs = _orthogonalize(w, V_basis, len(alphas) + 1, "item")
+        alphas.append(cs[-1])  # α_j = v_j · (AᵀA v_j)
+        if beta < 1e-10:
+            break
+        v = w.select("item", (F.col("x") / beta).alias("x")).localCheckpoint(
+            eager=True
+        )
+        V_basis = _append_basis(V_basis, v, len(betas) + 1, "item")
+        betas.append(beta)
+
+    m = len(alphas)
+    T = np.diag(alphas)
+    for i in range(min(m - 1, len(betas))):
+        T[i, i + 1] = T[i + 1, i] = betas[i]
+    evals, evecs = np.linalg.eigh(T)
+    order = np.argsort(-evals)[:k]
+    s = np.sqrt(np.clip(evals[order], 0.0, None))
+    W = evecs[:, order]  # m × k combination weights
+
+    cols = []
+    for col_j in range(k):
+        expr = None
+        for i in range(m):
+            term = F.col(f"b{i}") * float(W[i, col_j])
+            expr = term if expr is None else expr + term
+        cols.append(expr.alias(f"f{col_j}"))
+    V = V_basis.select("item", *cols).select(
+        "item", F.array(*[f"f{j}" for j in range(k)]).alias("factors")
+    ).localCheckpoint(eager=True)
+
+    # U_i = A·v_i / σ_i, all k columns in one join-aggregate
+    U = (
+        r.join(V, "item")
+        .groupBy("user")
+        .agg(
+            *[
+                F.sum(F.col("rating") * F.col("factors")[i]).alias(f"f{i}")
+                for i in range(k)
+            ]
+        )
+        .select(
+            "user",
+            F.array(
+                *[
+                    F.try_divide(F.col(f"f{i}"), F.lit(float(s[i])))
+                    for i in range(k)
+                ]
+            ).alias("factors"),
+        )
+    )
     return s, U, V

@@ -180,6 +180,35 @@ class PropertyGraph:
         return self
 
 
+def chain_graph(spark, n: int) -> DataFrame:
+    """Path graph 0→1→…→n−1 (reference ``graphgenerators.cpp`` 'chain')."""
+    return spark.range(n - 1).select(
+        F.col("id").alias(SRC), (F.col("id") + 1).alias(DST)
+    )
+
+
+def grid_graph(spark, n: int, cross: bool = False) -> DataFrame:
+    """n×n grid, vertex id = y·n + x, edges right and down; ``cross``
+    adds the diagonal (reference 'grid' / 'crossgrid'). Pure range
+    expressions — no driver-side loops, scales to any n."""
+    v = spark.range(n * n).select(
+        F.col("id"), (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    right = v.filter(F.col("x") < n - 1).select(
+        F.col("id").alias(SRC), (F.col("id") + 1).alias(DST)
+    )
+    down = v.filter(F.col("y") < n - 1).select(
+        F.col("id").alias(SRC), (F.col("id") + n).alias(DST)
+    )
+    out = right.unionByName(down)
+    if cross:
+        diag = v.filter((F.col("x") < n - 1) & (F.col("y") < n - 1)).select(
+            F.col("id").alias(SRC), (F.col("id") + n + 1).alias(DST)
+        )
+        out = out.unionByName(diag)
+    return out
+
+
 def erdos_renyi(spark, n: int, avg_degree: float, seed: int = 42) -> DataFrame:
     """Erdős–Rényi-ish random digraph (reference ``src/util/erdosrenyi.cpp:14-60``).
 

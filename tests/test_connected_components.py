@@ -10,6 +10,25 @@ from graphchi_cpp_spark.graph import PropertyGraph
 from tests.conftest import assert_df_matches_oracle
 
 
+def test_graph_generators(spark):
+    """chain / grid / crossgrid (reference graphgenerators.cpp) + WCC
+    sanity: each generated graph is one connected component."""
+    from graphchi_cpp_spark.graph import PropertyGraph, chain_graph, grid_graph
+
+    ch = chain_graph(spark, 10)
+    assert ch.count() == 9
+    g4 = grid_graph(spark, 4)
+    assert g4.count() == 2 * 4 * 3  # right + down edges
+    x4 = grid_graph(spark, 4, cross=True)
+    assert x4.count() == 2 * 4 * 3 + 9
+    from graphchi_cpp_spark.algos.connected_components import (
+        connected_components,
+    )
+
+    comps = connected_components(PropertyGraph.from_edges(x4))
+    assert comps.select("component").distinct().count() == 1
+
+
 def test_wcc_two_components(spark):
     # component {0,1,2} and {10,11}; directed edges, WCC ignores direction
     edges = spark.createDataFrame(

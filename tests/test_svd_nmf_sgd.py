@@ -25,6 +25,21 @@ def test_lanczos_matches_numpy(spark):
     assert U.count() == 8 and V.count() == 6
 
 
+def test_lanczos_onesided_matches_numpy(spark):
+    from graphchi_cpp_spark.cf.svd import lanczos_svd_onesided
+
+    rng = np.random.RandomState(7)
+    A = rng.rand(8, 6)
+    rows = [(u, i, float(A[u, i])) for u in range(8) for i in range(6)]
+    r = spark.createDataFrame(rows, "user long, item long, rating double")
+    s, U, V = lanczos_svd_onesided(r, k=3, max_iter=6)
+    want = np.linalg.svd(A, compute_uv=False)[:3]
+    assert s == pytest.approx(want, rel=1e-4)
+    # U columns are A·v/σ — unit norm up to reorthogonalization error
+    un = np.vstack([row["factors"] for row in U.collect()])
+    assert np.linalg.norm(un[:, 0]) == pytest.approx(1.0, rel=1e-3)
+
+
 def test_lanczos_on_testdata(spark, sf_dir):
     r = ratings(spark, sf_dir)
     s, U, V = lanczos_svd(r, k=2)
