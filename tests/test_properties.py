@@ -78,6 +78,97 @@ def test_wcc_matches_python_union_find(spark_global, edges):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=2,
+        max_size=35,
+    )
+)
+def test_kcores_hindex_matches_python_peeling(spark_global, edges):
+    """h-index fixpoint == literal peeling == a Python reference peel."""
+    from graphchi_cpp_spark.algos.kcores import kcores
+    from graphchi_cpp_spark.graph import PropertyGraph
+
+    edges = list({(a, b) for a, b in edges if a != b})
+    if not edges:
+        return
+    df = spark_global.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["core"]
+        for r in kcores(PropertyGraph.from_edges(df)).collect()
+    }
+    # python peeling on the simple undirected graph
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k = max(k + 1, min(deg[v] for v in alive))
+        changed = True
+        while changed:
+            doomed = [v for v in alive if deg[v] <= k]
+            changed = bool(doomed)
+            for v in doomed:
+                core[v] = k
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+    assert got == core
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12), st.integers(1, 9)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_msf_matches_python_kruskal(spark_global, wedges):
+    """Borůvka contraction == Kruskal under the same (w, src, dst) total
+    order (the order makes the forest unique)."""
+    from graphchi_cpp_spark.algos.msf import minimum_spanning_forest
+    from graphchi_cpp_spark.graph import PropertyGraph
+
+    wedges = [(a, b, float(w)) for a, b, w in wedges if a != b]
+    if not wedges:
+        return
+    df = spark_global.createDataFrame(wedges, "src long, dst long, weight double")
+    got = {
+        (r["src"], r["dst"]) for r in minimum_spanning_forest(
+            PropertyGraph(df)
+        ).collect()
+    }
+    # python kruskal on canonical undirected min-weight edges
+    best: dict = {}
+    for a, b, w in wedges:
+        key = (min(a, b), max(a, b))
+        if key not in best or w < best[key]:
+            best[key] = w
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for (a, b), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            want.add((a, b))
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
