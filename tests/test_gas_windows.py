@@ -89,6 +89,31 @@ def test_gas_out_direction_with_signal(spark):
     assert got == {1: 0, 2: 0, 3: 0}
 
 
+def test_pregel_frontier_both_directions(spark):
+    """Frontier + messages in BOTH directions: the edge filter must keep
+    edges where EITHER endpoint is an active sender. Min-label push on a
+    directed chain without symmetrizing reaches every vertex and matches
+    WCC semantics."""
+    from graphchi_cpp_spark.pregel import Pregel, dst, msg, old, src
+
+    edges = spark.createDataFrame([(1, 2), (3, 2), (3, 4), (5, 4)], ["src", "dst"])
+    g = PropertyGraph.from_edges(edges)
+    p = (
+        Pregel(g.edges, g.vertices)
+        .with_vertex_column(
+            "label",
+            F.col("id"),
+            F.least(F.col("label"), F.coalesce(msg(), F.col("label"))),
+        )
+        .send_msg_to_dst(src("label"))
+        .send_msg_to_src(dst("label"))
+        .agg_msgs(F.min(msg()))
+        .with_frontier(F.col("label") < old("label"))
+    )
+    got = {r["id"]: r["label"] for r in p.run(max_iter=20).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
 def test_pregel_tol_without_tol_col_raises(spark):
     from graphchi_cpp_spark.pregel import Pregel
 
