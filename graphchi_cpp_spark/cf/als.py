@@ -55,6 +55,68 @@ def _init_factors(df: DataFrame, id_col: str, d: int) -> DataFrame:
 NUM_SOLVE_BLOCKS = 64  # legacy fallback; see solve_blocks()
 
 
+# --------------------------------------------------------------------- #
+# d=2 expression-only fast path: the 2×2 normal equations
+# (AᵀA + λ·n·I)x = Aᵀb have a closed-form inverse, so one ALS half-step
+# is a join + groupBy-agg + arithmetic — zero Python, zero Arrow. This is
+# exactly the math the DuckDB oracle below (``_als2_solve_sql``) runs;
+# the UDF path remains for d>2. At 100 TB this also removes the
+# per-half-step Arrow serialization of every rating.
+# --------------------------------------------------------------------- #
+def _join_factors_d2(
+    ratings: DataFrame, fixed: DataFrame, other_col: str
+) -> DataFrame:
+    return ratings.join(
+        fixed.select(
+            F.col(other_col),
+            F.col("factors")[0].alias("_f0"),
+            F.col("factors")[1].alias("_f1"),
+        ),
+        other_col,
+    )
+
+
+def _sums_d2(joined: DataFrame, group_col: str, reg: float, w=None):
+    """Grouped sufficient statistics of the (weighted) 2×2 normal
+    equations: [a b; b c] x = [rhs0; rhs1], λ scaled by #obs like the
+    reference (``als.cpp:123-151``) and the numpy path above."""
+    w = F.lit(1.0) if w is None else w
+    n = F.count(F.lit(1))
+    f0, f1 = F.col("_f0"), F.col("_f1")
+    return joined.groupBy(group_col).agg(
+        (F.sum(w * f0 * f0) + F.lit(reg) * n).alias("a"),
+        F.sum(w * f0 * f1).alias("b"),
+        (F.sum(w * f1 * f1) + F.lit(reg) * n).alias("c"),
+        F.sum(w * F.col("rating") * f0).alias("rhs0"),
+        F.sum(w * F.col("rating") * f1).alias("rhs1"),
+    )
+
+
+def _dense_d2() -> tuple:
+    """Closed-form 2×2 solve column expressions over ``_sums_d2`` output:
+    inv([a b; b c]) = 1/(ac − b²)·[c −b; −b a]."""
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    det = a * c - b * b
+    return (
+        (c * F.col("rhs0") - b * F.col("rhs1")) / det,
+        (a * F.col("rhs1") - b * F.col("rhs0")) / det,
+    )
+
+
+def _solve_side_d2(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    group_col: str,
+    other_col: str,
+    reg: float,
+    weight_col: str | None = None,
+) -> DataFrame:
+    w = F.col(weight_col).cast("double") if weight_col is not None else None
+    s = _sums_d2(_join_factors_d2(ratings, fixed, other_col), group_col, reg, w)
+    x0, x1 = _dense_d2()
+    return s.select(group_col, F.array(x0, x1).alias("factors"))
+
+
 def solve_blocks(df: DataFrame) -> int:
     """Hash-block count for grouped applyInPandas solves: ONE task wave
     at the session's parallelism. More blocks than cores means extra
@@ -76,11 +138,15 @@ def _solve_side(
     """One ALS half-step: solve factors for ``group_col`` given ``fixed``
     factors of ``other_col``.
 
-    Grouping by a hash BLOCK (not per-entity) batches thousands of tiny
+    d=2 (the registered-query configuration) dispatches to the
+    expression-only closed-form path — no Python in the plan. For d>2,
+    grouping by a hash BLOCK (not per-entity) batches thousands of tiny
     D×D solves per Arrow transfer — per-group pandas overhead would
     otherwise dominate (one IPC round-trip per user). Inside a block the
     solves are a vectorized numpy loop.
     """
+    if d == 2:
+        return _solve_side_d2(ratings, fixed, group_col, other_col, reg, weight_col)
     schema = StructType(
         [
             StructField(group_col, LongType()),
@@ -180,6 +246,11 @@ def als(
             ratings, user_f, "item", "user", d, reg, weight_col
         ).cache()
         if (it + 1) % 4 == 0:
+            # the cached pre-checkpoint frames are spent once the eager
+            # checkpoint materializes — track them so they get unpersisted
+            # (long tol-style runs would otherwise leak 2 cached DFs / 4 iters)
+            spent.append(user_f)
+            spent.append(item_f)
             user_f = user_f.localCheckpoint(eager=True)
             item_f = item_f.localCheckpoint(eager=True)
         spent.append(user_f)

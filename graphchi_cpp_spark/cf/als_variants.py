@@ -31,7 +31,10 @@ from graphchi_cpp_spark.cf.als import (
     LAMBDA_DEFAULT,
     solve_blocks,
     _als2_init_sql,
+    _dense_d2,
     _init_factors,
+    _join_factors_d2,
+    _sums_d2,
     predict,
 )
 
