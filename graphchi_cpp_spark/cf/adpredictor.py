@@ -61,13 +61,15 @@ def event_impressions(events: DataFrame) -> DataFrame:
     """Deterministic impressions from the events table: label = purchase,
     features = [user bucket, hour-of-day, value bucket] (disjoint id
     ranges)."""
+    from graphchi_cpp_spark.streaming.windows import ts_us_sql
+
     hour_us = 3_600_000_000
     return events.select(
         F.col("event_id").alias("impression_id"),
         (F.col("event_type") == "purchase").cast("int").alias("label"),
         F.array(
             F.pmod(F.col("user_id"), F.lit(50)),
-            F.lit(50) + F.pmod(F.expr(f"(ts div 1000) div {hour_us}"), F.lit(24)),
+            F.lit(50) + F.pmod(F.expr(f"{ts_us_sql(events)} div {hour_us}"), F.lit(24)),
             F.lit(100)
             + F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)),
         ).alias("features"),

@@ -94,7 +94,13 @@ def _sums_d2(joined: DataFrame, group_col: str, reg: float, w=None):
 
 def _dense_d2() -> tuple:
     """Closed-form 2×2 solve column expressions over ``_sums_d2`` output:
-    inv([a b; b c]) = 1/(ac − b²)·[c −b; −b a]."""
+    inv([a b; b c]) = 1/(ac − b²)·[c −b; −b a].
+
+    Requires reg > 0: with λ·n on the diagonal the system is strictly
+    positive-definite, so det > 0 for every group. At reg=0 a
+    rank-deficient group (e.g. a single rating) has det=0 and this
+    division yields null/Inf where the numpy path raises LinAlgError —
+    use the d>2 UDF path if you need reg=0 semantics."""
     a, b, c = F.col("a"), F.col("b"), F.col("c")
     det = a * c - b * b
     return (
@@ -111,10 +117,22 @@ def _solve_side_d2(
     reg: float,
     weight_col: str | None = None,
 ) -> DataFrame:
-    w = F.col(weight_col).cast("double") if weight_col is not None else None
+    # NaN (not null) for missing weights: F.sum skips nulls while the λ·n
+    # term still counts the row — coalescing to NaN instead poisons the
+    # group's sums, matching the numpy path's NaN propagation
+    w = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(float("nan")))
+        if weight_col is not None
+        else None
+    )
     s = _sums_d2(_join_factors_d2(ratings, fixed, other_col), group_col, reg, w)
     x0, x1 = _dense_d2()
-    return s.select(group_col, F.array(x0, x1).alias("factors"))
+    # cast matches the d>2 UDF path's declared LongType key so the two
+    # dispatch branches expose one output contract
+    return s.select(
+        F.col(group_col).cast("long").alias(group_col),
+        F.array(x0, x1).alias("factors"),
+    )
 
 
 def solve_blocks(df: DataFrame) -> int:

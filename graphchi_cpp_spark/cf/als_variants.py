@@ -39,6 +39,105 @@ from graphchi_cpp_spark.cf.als import (
 )
 
 
+# --------------------------------------------------------------------- #
+# d=2 expression-only fast paths (the registered-query configuration):
+# every variant's local solve is closed-form from the same (a,b,c,rhs)
+# sufficient statistics its DuckDB oracle uses — no Python, no Arrow in
+# the plan. The applyInPandas machinery below remains the d>2 path.
+# --------------------------------------------------------------------- #
+def _ccd_sweep_d2(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    other_col: str,
+    reg: float,
+) -> DataFrame:
+    """One cyclic d=2 CCD sweep in closed form (mirrors ``_ccd_sums_sql``
+    + the lateral-alias update in ``als_coord_sql``): x0' = (rhs0 − b·x1)/a
+    with the OLD x1, then x1' = (rhs1 − b·x0')/c with the refreshed x0'."""
+    s = _sums_d2(_join_factors_d2(ratings, fixed, other_col), group_col, reg)
+    j = s.join(
+        current.select(F.col(group_col), F.col("factors")[1].alias("_x1")),
+        group_col,
+    )
+    nf0 = (F.col("rhs0") - F.col("b") * F.col("_x1")) / F.col("a")
+    nf1 = (F.col("rhs1") - F.col("b") * nf0) / F.col("c")
+    return j.select(
+        F.col(group_col).cast("long").alias(group_col),
+        F.array(nf0, nf1).alias("factors"),
+    )
+
+
+def _sparse_solve_d2(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    group_col: str,
+    other_col: str,
+    reg: float,
+    sparsity: int | None,
+) -> DataFrame:
+    """d=2 CoSaMP half-step in closed form: at d=2 the candidate support
+    is always both coordinates, so CoSaMP reduces to the dense 2×2 solve
+    followed by prune-to-top-|coordinate| when sparsity == 1 (ties keep
+    coordinate 0, matching numpy argsort order and the oracle's >=)."""
+    s = _sums_d2(_join_factors_d2(ratings, fixed, other_col), group_col, reg)
+    x0, x1 = _dense_d2()
+    if sparsity is not None and sparsity < 2:
+        keep0 = F.abs(x0) >= F.abs(x1)
+        x0, x1 = (
+            F.when(keep0, x0).otherwise(F.lit(0.0)),
+            F.when(keep0, F.lit(0.0)).otherwise(x1),
+        )
+    return s.select(
+        F.col(group_col).cast("long").alias(group_col),
+        F.array(x0, x1).alias("factors"),
+    )
+
+
+def _tensor_solve_d2(
+    r: DataFrame,
+    f1: DataFrame,
+    c1: str,
+    f2: DataFrame,
+    c2: str,
+    group_col: str,
+    reg: float,
+) -> DataFrame:
+    """d=2 tensor-mode half-step: the design row is the elementwise
+    product of the two fixed modes' factors, then the dense 2×2 solve."""
+    joined = (
+        r.join(
+            f1.select(
+                F.col(c1),
+                F.col("factors")[0].alias("_a0"),
+                F.col("factors")[1].alias("_a1"),
+            ),
+            c1,
+        )
+        .join(
+            f2.select(
+                F.col(c2),
+                F.col("factors")[0].alias("_b0"),
+                F.col("factors")[1].alias("_b1"),
+            ),
+            c2,
+        )
+        .select(
+            group_col,
+            "rating",
+            (F.col("_a0") * F.col("_b0")).alias("_f0"),
+            (F.col("_a1") * F.col("_b1")).alias("_f1"),
+        )
+    )
+    s = _sums_d2(joined, group_col, reg)
+    x0, x1 = _dense_d2()
+    return s.select(
+        F.col(group_col).cast("long").alias(group_col),
+        F.array(x0, x1).alias("factors"),
+    )
+
+
 def _out_schema(group_col: str) -> StructType:
     return StructType(
         [
@@ -135,12 +234,20 @@ def als_coord(
     )
     history: list[dict] = []
     for it in range(iterations):
-        user_f = _grouped_update(
-            _join_side(r, item_f, user_f, "user", "item"), "user", ccd_sweep
-        ).localCheckpoint(eager=True)
-        item_f = _grouped_update(
-            _join_side(r, user_f, item_f, "item", "user"), "item", ccd_sweep
-        ).localCheckpoint(eager=True)
+        if d == 2:
+            user_f = _ccd_sweep_d2(
+                r, item_f, user_f, "user", "item", reg
+            ).localCheckpoint(eager=True)
+            item_f = _ccd_sweep_d2(
+                r, user_f, item_f, "item", "user", reg
+            ).localCheckpoint(eager=True)
+        else:
+            user_f = _grouped_update(
+                _join_side(r, item_f, user_f, "user", "item"), "user", ccd_sweep
+            ).localCheckpoint(eager=True)
+            item_f = _grouped_update(
+                _join_side(r, user_f, item_f, "item", "user"), "item", ccd_sweep
+            ).localCheckpoint(eager=True)
         history.append({"iter": it, "train_rmse": _rmse(r, user_f, item_f)})
     return user_f, item_f, history
 
@@ -386,16 +493,24 @@ def sparse_als(
     )
     history: list[dict] = []
     for it in range(iterations):
-        user_f = _grouped_update(
-            _join_side(r, item_f, user_f, "user", "item"),
-            "user",
-            solver(user_sparsity),
-        ).localCheckpoint(eager=True)
-        item_f = _grouped_update(
-            _join_side(r, user_f, item_f, "item", "user"),
-            "item",
-            solver(item_sparsity),
-        ).localCheckpoint(eager=True)
+        if d == 2:
+            user_f = _sparse_solve_d2(
+                r, item_f, "user", "item", reg, user_sparsity
+            ).localCheckpoint(eager=True)
+            item_f = _sparse_solve_d2(
+                r, user_f, "item", "user", reg, item_sparsity
+            ).localCheckpoint(eager=True)
+        else:
+            user_f = _grouped_update(
+                _join_side(r, item_f, user_f, "user", "item"),
+                "user",
+                solver(user_sparsity),
+            ).localCheckpoint(eager=True)
+            item_f = _grouped_update(
+                _join_side(r, user_f, item_f, "item", "user"),
+                "item",
+                solver(item_sparsity),
+            ).localCheckpoint(eager=True)
         history.append({"iter": it, "train_rmse": _rmse(r, user_f, item_f)})
     return user_f, item_f, history
 
@@ -434,6 +549,10 @@ def als_tensor(
     prod = lambda a, b: F.zip_with(a, b, lambda x, y: x * y)  # noqa: E731
 
     def solve_mode(group_col, f1, c1, f2, c2, current):
+        if d == 2:
+            return _tensor_solve_d2(
+                r, f1, c1, f2, c2, group_col, reg
+            ).localCheckpoint(eager=True)
         joined = (
             r.join(f1.select(F.col(c1), F.col("factors").alias("_f1")), c1)
             .join(f2.select(F.col(c2), F.col("factors").alias("_f2")), c2)

@@ -94,20 +94,29 @@ def aggregate_messages(
     to_src: Column | None = None,
     need_src: bool = True,
     need_dst: bool = False,
+    edges_for_to_src: DataFrame | None = None,
 ) -> DataFrame:
     """One gather step: returns (id, <agg aliases>) for vertices receiving messages.
 
     GraphFrames-style aggregateMessages; the GAS gather phase
     (``graphchi_graphlabv2_1.hpp:326-393``) with gather_edges direction
     chosen by which of to_dst/to_src is set.
+
+    ``edges_for_to_src``: optional distinct edge set for the to_src
+    direction (frontier mode sends to_dst over src-active edges and
+    to_src over dst-active edges — one shared set would let an inactive
+    endpoint "send" whenever the other endpoint is active, which is wrong
+    for non-idempotent aggregates like sum/count).
     """
-    t = _triplets(edges, vertices, need_src, need_dst)
     parts = []
     if to_dst is not None:
+        t = _triplets(edges, vertices, need_src, need_dst)
         parts.append(
             t.select(F.col("edge.dst").alias("id"), to_dst.alias(MSG_COL))
         )
     if to_src is not None:
+        e = edges_for_to_src if edges_for_to_src is not None else edges
+        t = _triplets(e, vertices, need_src, need_dst)
         parts.append(
             t.select(F.col("edge.src").alias("id"), to_src.alias(MSG_COL))
         )
@@ -224,27 +233,22 @@ class Pregel:
         use_frontier = self._active_expr is not None
         for it in range(max_iter):
             msg_edges = self.edges
+            msg_edges_to_src = None
             if use_frontier:
                 frontier = v.filter(F.col(ACTIVE_COL)).select("id")
                 # Messages flow only out of last-superstep-changed vertices.
                 # The SENDER side depends on direction: to_dst messages are
                 # sent by the src vertex, to_src messages by the dst vertex —
-                # filter edges by the active sender(s), not blindly by src.
+                # each direction gets its own sender-active edge set (one
+                # shared either-endpoint set would let an inactive src
+                # "send" whenever dst is active: harmless for idempotent
+                # min/max, wrong for sum/count aggregates).
                 if self._to_dst is not None and self._to_src is not None:
-                    fs = frontier.select(
-                        F.col("id").alias("src"), F.lit(True).alias("_f_src")
+                    msg_edges = self.edges.join(
+                        frontier.withColumnRenamed("id", "src"), "src", "left_semi"
                     )
-                    fd = frontier.select(
-                        F.col("id").alias("dst"), F.lit(True).alias("_f_dst")
-                    )
-                    msg_edges = (
-                        self.edges.join(fs, "src", "left")
-                        .join(fd, "dst", "left")
-                        .filter(
-                            F.col("_f_src").isNotNull()
-                            | F.col("_f_dst").isNotNull()
-                        )
-                        .drop("_f_src", "_f_dst")
+                    msg_edges_to_src = self.edges.join(
+                        frontier.withColumnRenamed("id", "dst"), "dst", "left_semi"
                     )
                 elif self._to_src is not None:
                     msg_edges = self.edges.join(
@@ -262,6 +266,7 @@ class Pregel:
                 to_src=self._to_src,
                 need_src=need_src,
                 need_dst=need_dst,
+                edges_for_to_src=msg_edges_to_src,
             )
             joined = v.join(msgs, "id", "left").select(
                 "*", *[upd.alias(f"_new_{name}") for name, _, upd in self._cols]

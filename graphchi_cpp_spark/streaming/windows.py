@@ -6,15 +6,38 @@ batch (here, oracle-checkable) and in Structured Streaming
 (``readStream`` + ``F.window`` + watermark), since tumbling windows are
 deterministic functions of event time.
 
-events.ts arrives as int64 nanoseconds (see session.py nanosAsLong);
-window id = floor-division — identical arithmetic in DuckDB.
+events.ts has arrived in different physical encodings across testdata
+generations (int64 ns via nanosAsLong, parquet timestamp[us] read as
+TIMESTAMP / TIMESTAMP_NTZ) — ``ts_us_sql`` below normalizes all of them
+to µs-since-epoch so window arithmetic matches DuckDB ``epoch_us(ts)``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 US_PER_HOUR = 3_600_000_000
+
+
+def ts_us_sql(df: DataFrame, col: str = "ts") -> str:
+    """SQL expression (string) for ``col`` as µs since epoch, adapted to the
+    column's actual type:
+
+    - TIMESTAMP          → ``unix_micros(col)``            (= DuckDB epoch_us)
+    - TIMESTAMP_NTZ      → ``unix_micros(cast(col as timestamp))`` — session
+      timezone is UTC (session.py), so the naive→instant cast is the identity
+      and matches DuckDB ``epoch_us`` over the same naive value
+    - int64 (nanosAsLong legacy read of TIMESTAMP(NANOS)) → ``col div 1000``
+
+    Returned as a string, not a Column, so callers can keep integer ``div``
+    semantics in composed expressions (no double round-trip)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return f"unix_micros({col})"
+    if isinstance(dt, TimestampNTZType):
+        return f"unix_micros(cast({col} as timestamp))"
+    return f"({col} div 1000)"
 
 
 def hourly_event_stats(events: DataFrame) -> DataFrame:
@@ -23,7 +46,7 @@ def hourly_event_stats(events: DataFrame) -> DataFrame:
     cross-engine-comparable resolution; see sessionize)."""
     return (
         events.select(
-            F.expr(f"(ts div 1000) div {US_PER_HOUR}").alias("hour_bucket"),
+            F.expr(f"{ts_us_sql(events)} div {US_PER_HOUR}").alias("hour_bucket"),
             "event_type",
             "value",
         )
@@ -58,8 +81,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     # microsecond precision: DuckDB truncates TIMESTAMP_NS to µs on read,
     # so µs is the cross-engine-comparable resolution
     gap_us = gap_minutes * 60 * 1_000_000
-    # integer division — ts/1000 in doubles loses ULPs above 2^53
-    ev = events.select("user_id", F.expr("ts div 1000").alias("ts_us"))
+    ev = events.select("user_id", F.expr(ts_us_sql(events)).alias("ts_us"))
     w = Window.partitionBy("user_id").orderBy("ts_us")
     prev = F.lag("ts_us").over(w)
     marked = ev.withColumn(

@@ -114,6 +114,34 @@ def test_pregel_frontier_both_directions(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
+def test_pregel_frontier_both_directions_sum(spark):
+    """Non-idempotent (sum) aggregate with a both-directions frontier:
+    each direction must draw from its OWN sender-active edge set. The old
+    either-endpoint union filter let an inactive endpoint "send" whenever
+    the other endpoint was active — harmless for min/max, but it inflates
+    sum/count aggregates (VERDICT r3 item 6)."""
+    from graphchi_cpp_spark.pregel import Pregel, msg
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], ["src", "dst"])
+    g = PropertyGraph.from_edges(edges)
+    p = (
+        Pregel(g.edges, g.vertices)
+        .with_vertex_column(
+            "x", F.lit(0).cast("long"), F.col("x") + F.coalesce(msg(), F.lit(0))
+        )
+        .send_msg_to_dst(F.lit(1))
+        .send_msg_to_src(F.lit(1))
+        .agg_msgs(F.sum(msg()))
+        .with_frontier(msg().isNotNull(), initially_active=F.col("id") == 1)
+    )
+    got = {r["id"]: r["x"] for r in p.run(max_iter=3).collect()}
+    # s1: only 1 active → v2 += 1 via the src-active edge 1→2 (an
+    #     inactive-sender leak would also bump v1 here, making v1 = 2)
+    # s2: only 2 active → v1 += 1 and v3 += 1 via the dst-active edges
+    # s3: 1 and 3 active → v2 += 2
+    assert got == {1: 1, 2: 3, 3: 1}
+
+
 def test_pregel_tol_without_tol_col_raises(spark):
     from graphchi_cpp_spark.pregel import Pregel
 
