@@ -709,19 +709,29 @@ def _register_ml_extras():
     from graphchi_cpp_spark.datasets import cosupply_edges, ratings
     from graphchi_cpp_spark.graph import PropertyGraph
 
-    @query("svd_singular_values")  # Lanczos loop — rows-only check
+    from graphchi_cpp_spark.cf.svd import lowrank_fixture, lowrank_sigma_sql
+    from graphchi_cpp_spark.datasets import RATINGS_SQL as _RSQL_SVD
+
+    # Both SVD queries run the full Lanczos operators on a deterministic
+    # rank-3 fixture over the ratings id universe: Lanczos is exact on
+    # rank-3 input, and the fixture's singular values have a closed form
+    # (trig-cubic on the 3×3 Gram product) DuckDB can evaluate — value-
+    # hashed trajectories instead of rows-only checks.
+    @query("svd_singular_values", lowrank_sigma_sql(_RSQL_SVD))
     def q_svd(spark, sf_dir):
-        s, _, _ = lanczos_svd(_ratings(spark, sf_dir), k=3)
+        s, _, _ = lanczos_svd(lowrank_fixture(_ratings(spark, sf_dir)), k=3)
         return spark.createDataFrame(
             [(i, round(float(v), 4)) for i, v in enumerate(s)],
             "rank int, sigma double",
         )
 
-    @query("svd_onesided_singular_values")  # Gram-matrix Lanczos — rows-only
+    @query("svd_onesided_singular_values", lowrank_sigma_sql(_RSQL_SVD))
     def q_svd_onesided(spark, sf_dir):
         from graphchi_cpp_spark.cf.svd import lanczos_svd_onesided
 
-        s, _, _ = lanczos_svd_onesided(_ratings(spark, sf_dir), k=3)
+        s, _, _ = lanczos_svd_onesided(
+            lowrank_fixture(_ratings(spark, sf_dir)), k=3
+        )
         return spark.createDataFrame(
             [(i, round(float(v), 4)) for i, v in enumerate(s)],
             "rank int, sigma double",

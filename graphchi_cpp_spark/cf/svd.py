@@ -149,12 +149,17 @@ def lanczos_svd(
         V_basis = _append_basis(V_basis, v, len(betas) + 1, "item")
         betas.append(beta)
 
-    # driver-side bidiagonal SVD (tiny)
+    # driver-side bidiagonal SVD (tiny). The projection U_mᵀ A V_nv is
+    # m×nv with nv = |V basis| ∈ {m, m+1}: when the u side exhausts first
+    # (rank termination, α_{m+1}=0) the final β still links v_{m+1} and
+    # must be kept — squaring the matrix silently drops it and skews the
+    # trailing σ (measured 0.3577 → 0.0971 on a rank-3 fixture).
     m = len(alphas)
-    B = np.zeros((m, m))
+    nv = len(V_basis.columns) - 1
+    B = np.zeros((m, nv))
     for i in range(m):
         B[i, i] = alphas[i]
-        if i + 1 < m:
+        if i < len(betas) and i + 1 < nv:
             B[i, i + 1] = betas[i]
     ub, s, vbt = np.linalg.svd(B)
     s = s[:k]
@@ -165,7 +170,7 @@ def lanczos_svd(
         cols = []
         for col_j in range(k):
             expr = None
-            for i in range(m):
+            for i in range(weights.shape[0]):
                 term = F.col(f"b{i}") * float(weights[i, col_j])
                 expr = term if expr is None else expr + term
             cols.append(expr.alias(f"f{col_j}"))
@@ -176,6 +181,128 @@ def lanczos_svd(
     U = combine(U_basis, ub[:, :k], "user")
     V = combine(V_basis, vbt.T[:, :k], "item")
     return s, U, V
+
+
+# --------------------------------------------------------------------- #
+# Oracle-checkable fixture: a deterministic rank-d matrix over the
+# ratings id universe. Lanczos is EXACT on a rank-d input (the Krylov
+# space spans the range after d steps, and we fully reorthogonalize), so
+# running the real operator on this fixture yields the fixture's true
+# singular values — which have a closed form: σ² are the eigenvalues of
+# the 3×3 product (BᵀB)(CᵀC), solvable in ANSI SQL via the trigonometric
+# cubic formula. This flips the M5 check from rows-only to value-hashed
+# without weakening the operator under test (same code path end to end).
+# --------------------------------------------------------------------- #
+_FIX_SCALES = (4.0, 2.0, 1.0)
+
+
+def _hash_comp(col: str, j: int):
+    """Same deterministic hash component as ``als._init_factors``."""
+    return (
+        F.pmod(
+            F.col(col) * F.lit(2654435761 + 97 * j) + F.lit(12289 * j),
+            F.lit(100003),
+        )
+        / F.lit(1000030.0)
+    ).cast("double")
+
+
+def lowrank_fixture(
+    ratings: DataFrame,
+    scales: tuple = _FIX_SCALES,
+    user_mod: int = 5,
+    item_mod: int = 5,
+) -> DataFrame:
+    """Dense rank-len(scales) matrix A = B·Cᵀ over a modulus-sampled
+    subset of the ratings' user/item ids; B[u,j] = scales[j]·hash(u,j),
+    C[i,j] = hash(i,j). Column scales separate the singular values."""
+    users = ratings.select("user").distinct().filter(F.col("user") % user_mod == 0)
+    items = ratings.select("item").distinct().filter(F.col("item") % item_mod == 0)
+    expr = None
+    for j, s in enumerate(scales):
+        t = F.lit(float(s)) * _hash_comp("user", j) * _hash_comp("item", j)
+        expr = t if expr is None else expr + t
+    return users.crossJoin(items).select("user", "item", expr.alias("rating"))
+
+
+def _hash_comp_sql(idc: str, j: int) -> str:
+    return f"((({idc} * {2654435761 + 97 * j} + {12289 * j}) % 100003) / 1000030.0)"
+
+
+def lowrank_sigma_sql(
+    ratings_sql: str,
+    scales: tuple = _FIX_SCALES,
+    user_mod: int = 5,
+    item_mod: int = 5,
+    ndigits: int = 4,
+) -> str:
+    """Closed-form singular values of ``lowrank_fixture``: σ² = eigen-
+    values of M = (BᵀB)(CᵀC) (3×3). Characteristic cubic solved with the
+    trigonometric method (three real roots — M is similar to an SPD
+    matrix): t³+pt+q roots are 2√(−p/3)·cos(⅓·acos(3q/(2p)·√(−3/p)) −
+    2πk/3), λ = t − a/3. Output (rank, sigma) like the Spark query."""
+    d = len(scales)
+    assert d == 3, "closed-form oracle is for the rank-3 fixture"
+    b_cols = ", ".join(
+        f"{float(scales[j])} * {_hash_comp_sql('id', j)} AS b{j}" for j in range(d)
+    )
+    c_cols = ", ".join(f"{_hash_comp_sql('id', j)} AS c{j}" for j in range(d))
+    gb = ", ".join(
+        f"sum(b{i} * b{j}) AS gb{i}{j}" for i in range(d) for j in range(i, d)
+    )
+    gc = ", ".join(
+        f"sum(c{i} * c{j}) AS gc{i}{j}" for i in range(d) for j in range(i, d)
+    )
+
+    def g(p: str, i: int, j: int) -> str:  # symmetric Gram accessor
+        return f"{p}{min(i, j)}{max(i, j)}"
+
+    m_entries = ", ".join(
+        " + ".join(f"{g('gb', i, k)} * {g('gc', k, j)}" for k in range(d))
+        + f" AS m{i}{j}"
+        for i in range(d)
+        for j in range(d)
+    )
+    return f"""
+        WITH r0 AS MATERIALIZED ({ratings_sql}),
+        bu AS MATERIALIZED (
+          SELECT id, {b_cols}
+          FROM (SELECT DISTINCT "user" AS id FROM r0 WHERE "user" % {user_mod} = 0)
+        ),
+        ci AS MATERIALIZED (
+          SELECT id, {c_cols}
+          FROM (SELECT DISTINCT item AS id FROM r0 WHERE item % {item_mod} = 0)
+        ),
+        gb AS (SELECT {gb} FROM bu),
+        gc AS (SELECT {gc} FROM ci),
+        m AS (SELECT {m_entries} FROM gb, gc),
+        coef AS (
+          SELECT m00 + m11 + m22 AS c2,
+                 (m00*m11 - m01*m10) + (m00*m22 - m02*m20)
+                   + (m11*m22 - m12*m21) AS c1,
+                 m00*(m11*m22 - m12*m21) - m01*(m10*m22 - m12*m20)
+                   + m02*(m10*m21 - m11*m20) AS c0
+          FROM m
+        ),
+        cub AS (SELECT -c2 AS a, c1 AS b, -c0 AS c FROM coef),
+        tri AS (
+          SELECT a,
+                 b - a*a/3.0 AS p,
+                 2.0*a*a*a/27.0 - a*b/3.0 + c AS q
+          FROM cub
+        ),
+        lam AS (
+          SELECT 2.0*sqrt(-p/3.0) * cos(
+                   acos(greatest(-1.0, least(1.0,
+                     (3.0*q)/(2.0*p) * sqrt(-3.0/p)))) / 3.0
+                   - 2.0*pi()*k/3.0
+                 ) - a/3.0 AS lam
+          FROM tri, (VALUES (0), (1), (2)) AS t(k)
+        )
+        SELECT CAST(row_number() OVER (ORDER BY lam DESC) - 1 AS INT) AS rank,
+               round(sqrt(lam), {ndigits}) AS sigma
+        FROM lam ORDER BY rank
+    """
 
 
 def lanczos_svd_onesided(

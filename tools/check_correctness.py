@@ -47,6 +47,19 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -55,36 +68,61 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            record(name, err=f"spark: {type(e).__name__}: {e}"[:300])
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(sdf)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            record(name, spark_rows=len(sdf), err="no_oracle")
             n_pass += 1
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            record(name, spark_rows=len(sdf),
+                   err=f"duckdb: {type(e).__name__}: {e}"[:300])
             n_fail += 1
             continue
         scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} != {dcols}")
+            record(name, schema_match=False, spark_rows=len(sdf),
+                   oracle_rows=len(ddf))
             n_fail += 1
             continue
         srows, drows = canon_rows(sdf[scols]), canon_rows(ddf[dcols])
         if len(srows) != len(drows):
             print(f"FAIL {name}: rows {len(srows)} != {len(drows)}")
+            record(name, rows_match=False, schema_match=True,
+                   spark_rows=len(srows), oracle_rows=len(drows))
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(srows, drows) if a != b]
         if bad:
             print(f"FAIL {name}: {len(bad)} row mismatches; first: {bad[:3]}")
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(srows), oracle_rows=len(drows))
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(srows), oracle_rows=len(drows))
             n_pass += 1
+
+    # committable artifact in the driver's CORRECTNESS_r{N}.json shape —
+    # covers every registered query, not just the driver's sample
+    if not only:
+        import json
+
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_local.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "unix_time": int(time.time()),
+                       "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=2)
+        print(f"wrote {out}")
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
