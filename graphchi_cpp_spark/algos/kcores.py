@@ -46,9 +46,9 @@ def kcores(
 
 def _kcores_hindex(graph: PropertyGraph, max_iter: int = 100) -> DataFrame:
     """Montresor h-index fixpoint: one loop, two shuffles per iteration
-    (neighbor join + window rank), edge table cached once with partition
-    reuse. Monotone non-increasing per vertex, so convergence is checked
-    with a cheap changed-count."""
+    (neighbor join + value histogram), edge table cached once with
+    partition reuse. Monotone non-increasing per vertex, so convergence
+    is checked with a cheap changed-count."""
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     e = (
@@ -67,19 +67,29 @@ def _kcores_hindex(graph: PropertyGraph, max_iter: int = 100) -> DataFrame:
     )
     c.count()
 
-    w = Window.partitionBy("src").orderBy(F.col("cn").desc())
     for _ in range(max_iter):
-        # h-index of neighbor values: rank neighbors by value desc,
-        # h = max(min(rank, value)); then clamp to the current value
-        # (Montresor update — keeps the sequence monotone).
+        # Aggregate-only h-index (no per-edge sort): histogram the
+        # neighbor values per vertex (hash agg, map-side combinable —
+        # the shuffle carries |distinct (src, value)| rows, not |E|),
+        # then a descending running count over the tiny histogram gives
+        # #{neighbors ≥ v}, and H = max over distinct v of
+        # min(v, #{≥ v}) — the standard h-index identity. A power-law
+        # hub's million edges collapse to ≤ its distinct neighbor
+        # values before the window sort ever runs.
         nbr = e.join(
             c.select(F.col("id").alias("dst"), F.col("c").alias("cn")), "dst"
         ).select("src", "cn")
+        hist = nbr.groupBy("src", "cn").agg(F.count("*").alias("n"))
+        wv = (
+            Window.partitionBy("src")
+            .orderBy(F.col("cn").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         h = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .select("src", F.least(F.col("rn"), F.col("cn")).alias("m"))
+            hist.withColumn("ge", F.sum("n").over(wv))
+            .select("src", F.least(F.col("cn").cast("long"), F.col("ge")).alias("m"))
             .groupBy(F.col("src").alias("id"))
-            .agg(F.max("m").alias("h"))
+            .agg(F.max("m").cast("int").alias("h"))
         )
         nc = (
             c.join(h, "id", "left")
@@ -96,6 +106,7 @@ def _kcores_hindex(graph: PropertyGraph, max_iter: int = 100) -> DataFrame:
         changed = nc.filter("chg").limit(1).count() > 0
         c.unpersist()
         c = nc.drop("chg").localCheckpoint(eager=True)
+        nc.unpersist()
         if not changed:
             break
 

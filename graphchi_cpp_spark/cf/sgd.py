@@ -11,10 +11,13 @@ Reference updates (per observed rating, learning rate γ, reg λ):
     (r₀₁−σ)·σ·(1−σ)); RMSE is always reported in the original scale.
 - svdpp   (``svdpp.cpp:160``): user vector augmented with implicit
     feedback Σ_{j∈N(u)} y_j / sqrt|N(u)|
-- timesvdpp (``timesvdpp.cpp:261``): svdpp plus a per-time-bin bias b_t
-    learned like the item bias (the reference's full time-evolving
-    factors are folded to the bias term — documented simplification;
-    the tensor-factor path lives in ``cf/als_variants.als_tensor``).
+- timesvdpp (``timesvdpp.cpp:150-171, :261-340``): the full time-evolving
+    model — pred = μ + b_u + b_i + b_t + p_eff·q + x_u·z_t + (pu_u∘pt_t)·q,
+    where x_u/pu_u are extra user vectors and z_t/pt_t live on the time
+    bin; every block updates them with the reference's gradient rules.
+    Layout: user [p(d), bu, 1, x(d), pu(d)], item [q(d), 1, bi],
+    time bin [bt, z(d), pt(d)]. (The reference's separate p/ptemp pair
+    is folded to one vector like svdpp's y→q fold — documented.)
 
 **Documented semantic deviation (SURVEY §2.5 M3):** the reference runs
 asynchronous Hogwild-style updates over shared memory. A BSP engine
@@ -101,8 +104,11 @@ def sgd(
         raise ValueError("timesvdpp needs time_col")
 
     if num_blocks is None:
+        # floor at the session's parallelism: data-sized blocks alone
+        # leave cores idle (600k ratings / 50k = 12 blocks on 32 cores)
         n = ratings.count()
-        num_blocks = max(8, min(4096, -(-n // target_block_rows)))
+        par = ratings.sparkSession.sparkContext.defaultParallelism
+        num_blocks = max(8, par, min(4096, -(-n // target_block_rows)))
 
     tcols = (
         [F.col(time_col).cast("long").alias("tbin")]
@@ -126,12 +132,34 @@ def sgd(
         pad = lambda col, a, b: F.concat(col, F.array(F.lit(a), F.lit(b)))  # noqa: E731
         user_f = user_f.select("user", pad(F.col("factors"), 0.0, 1.0).alias("factors"))
         item_f = item_f.select("item", pad(F.col("factors"), 1.0, 0.0).alias("factors"))
+    if use_time:
+        # x/pu start small (reference inits 0.001·rand/D) and nonzero —
+        # a zero·zero product term is a saddle the gradient never leaves
+        ux = _init_factors(r.select("user").distinct(), "user", 2 * d)
+        user_f = user_f.join(
+            ux.select(
+                "user",
+                F.transform("factors", lambda c: c * F.lit(0.1)).alias("_ext"),
+            ),
+            "user",
+        ).select("user", F.concat("factors", "_ext").alias("factors"))
     user_f = user_f.localCheckpoint(eager=True)
     item_f = item_f.localCheckpoint(eager=True)
-    tb_f = (
-        r.select("tbin").distinct().select("tbin", F.lit(0.0).alias("b"))
-        .localCheckpoint(eager=True)
-    )
+    if use_time:
+        # time-bin state [bt, z(d), pt(d)]
+        tzp = _init_factors(r.select("tbin").distinct(), "tbin", 2 * d)
+        tb_f = tzp.select(
+            "tbin",
+            F.concat(
+                F.array(F.lit(0.0)),
+                F.transform("factors", lambda c: c * F.lit(0.1)),
+            ).alias("b"),
+        ).localCheckpoint(eager=True)
+    else:
+        tb_f = (
+            r.select("tbin").distinct().select("tbin", F.lit(0.0).alias("b"))
+            .localCheckpoint(eager=True)
+        )
 
     history: list[dict] = []
     for it in range(iterations):
@@ -170,7 +198,7 @@ def sgd(
             tb0 = pdf["_tb"].to_numpy()
             ufs = pdf["_uf"].to_numpy()
             ifs = pdf["_if"].to_numpy()
-            tbias: dict[int, float] = {}
+            times: dict[int, np.ndarray] = {}
             t_upd: dict[int, int] = {}
             for i in range(len(uids)):
                 uid, iid = uids[i], iids[i]
@@ -180,16 +208,25 @@ def sgd(
                 v = items.get(iid)
                 if v is None:
                     v = items[iid] = np.array(ifs[i], dtype=float)
-                if use_implicit:
+                if use_time:
+                    # pred = μ + bu + bi + bt + p_eff·q + x·z + (pu∘pt)·q
+                    tb = tbins[i]
+                    tvec = times.get(tb)
+                    if tvec is None:
+                        tvec = times[tb] = np.array(tb0[i], dtype=float)
+                    p_eff = u[:d] + implicit[uid] if use_implicit else u[:d]
+                    x, pu = u[d + 2 : 2 * d + 2], u[2 * d + 2 :]
+                    z, pt = tvec[1 : d + 1], tvec[d + 1 :]
+                    pred = (
+                        mu + u[d] + v[d + 1] + tvec[0]
+                        + p_eff @ v[:d] + x @ z + (pu * pt) @ v[:d]
+                    )
+                elif use_implicit:
                     u_eff = u.copy()
                     u_eff[:d] = u_eff[:d] + implicit[uid]
                     pred = mu + u_eff @ v
                 else:
                     pred = mu + u @ v if use_bias else u @ v
-                if use_time:
-                    tb = tbins[i]
-                    bt = tbias.setdefault(tb, float(tb0[i]))
-                    pred += bt
                 # gradient error under the selected loss (biassgd2 family)
                 if loss == "square":
                     ge = rts[i] - pred
@@ -202,8 +239,31 @@ def sgd(
                     gu, gv = u[:d], v[:d]
                     bu, bi = u[d], v[d + 1]
                     gu_eff = gu + implicit[uid] if use_implicit else gu
-                    gu_new = gu + gamma_it * (ge * gv - lam * gu)
-                    gv_new = gv + gamma_it * (ge * gu_eff - lam * gv)
+                    if use_time:
+                        # reference gradient rules (timesvdpp.cpp:299-313):
+                        # q sees userValue = p_eff + pu∘pt; p/pu/pt/x/z see
+                        # the OLD q / each other's old values
+                        old_q = gv.copy()
+                        user_value = gu_eff + pu * pt
+                        gv_new = gv + gamma_it * (ge * user_value - lam * gv)
+                        gu_new = gu + gamma_it * (ge * old_q - lam * gu)
+                        # x/z swap reads each other's OLD values; pt reads
+                        # the freshly-updated pu (x, pu, z, pt are views,
+                        # so copy what must stay old — timesvdpp.cpp:308-312)
+                        old_x = x.copy()
+                        u[d + 2 : 2 * d + 2] = x + gamma_it * (ge * z - lam * x)
+                        tvec[1 : d + 1] = z + gamma_it * (ge * old_x - lam * z)
+                        u[2 * d + 2 :] = pu + gamma_it * (
+                            ge * old_q * pt - lam * pu
+                        )
+                        tvec[d + 1 :] = pt + gamma_it * (
+                            ge * old_q * pu - lam * pt
+                        )
+                        tvec[0] += gamma_it * (ge - lam * tvec[0])
+                        t_upd[tb] = t_upd.get(tb, 0) + 1
+                    else:
+                        gu_new = gu + gamma_it * (ge * gv - lam * gu)
+                        gv_new = gv + gamma_it * (ge * gu_eff - lam * gv)
                     bu += gamma_it * (ge - lam * bu)
                     bi += gamma_it * (ge - lam * bi)
                     u[:d], v[:d] = gu_new, gv_new
@@ -212,9 +272,6 @@ def sgd(
                     u_new = u + gamma_it * (ge * v - lam * u)
                     v_new = v + gamma_it * (ge * u - lam * v)
                     u[:], v[:] = u_new, v_new
-                if use_time:
-                    tbias[tb] = bt + gamma_it * (ge - lam * bt)
-                    t_upd[tb] = t_upd.get(tb, 0) + 1
                 item_upd[iid] = item_upd.get(iid, 0) + 1
             out = [("user", k, list(map(float, vec)), 1) for k, vec in users.items()]
             out += [
@@ -222,8 +279,8 @@ def sgd(
                 for k, vec in items.items()
             ]
             out += [
-                ("tbias", k, [float(b)], t_upd.get(k, 1))
-                for k, b in tbias.items()
+                ("tbias", k, list(map(float, vec)), t_upd.get(k, 1))
+                for k, vec in times.items()
             ]
             return pd.DataFrame(out, columns=["kind", "id", "factors", "n_upd"])
 
@@ -256,21 +313,75 @@ def sgd(
             .localCheckpoint(eager=True)
         )
         if use_time:
+            # time-bin vectors: same update-count-weighted average as items
             tb_f = (
                 updated.filter(F.col("kind") == "tbias")
-                .select(F.col("id").alias("tbin"), F.col("factors")[0].alias("b"),
-                        "n_upd")
+                .select(
+                    F.col("id").alias("tbin"), "n_upd",
+                    F.posexplode("factors").alias("pos", "x"),
+                )
+                .groupBy("tbin", "pos")
+                .agg(
+                    (F.sum(F.col("x") * F.col("n_upd")) / F.sum("n_upd")).alias("x")
+                )
                 .groupBy("tbin")
-                .agg((F.sum(F.col("b") * F.col("n_upd")) / F.sum("n_upd")).alias("b"))
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                        lambda s: s["x"],
+                    ).alias("b")
+                )
                 .localCheckpoint(eager=True)
             )
+        def _dot_slices(a, astart, b, bstart, n):
+            # 1-indexed slice dot product, all JVM-side
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(a, astart, n), F.slice(b, bstart, n),
+                    lambda xx, yy: xx * yy,
+                ),
+                F.lit(0.0),
+                lambda acc, xx: acc + xx,
+            )
+
         def _rmse_of(dataset: DataFrame) -> float:
-            preds = (
+            j = (
                 dataset.join(
                     user_f.select("user", F.col("factors").alias("_uf")), "user"
                 )
                 .join(item_f.select("item", F.col("factors").alias("_if")), "item")
-                .select(
+            )
+            if use_time:
+                # explicit slice arithmetic — u and v have different
+                # lengths here, so the whole-array zip dot doesn't apply
+                j = j.join(tb_f.select("tbin", F.col("b").alias("_tb")),
+                           "tbin", "left")
+                tf = F.coalesce(
+                    F.col("_tb"), F.array_repeat(F.lit(0.0), 2 * d + 1)
+                )
+                u, v = F.col("_uf"), F.col("_if")
+                pred = (
+                    F.lit(mu)
+                    + _dot_slices(u, 1, v, 1, d)              # p·q
+                    + u[d] + v[d + 1] + tf[0]                 # bu + bi + bt
+                    + _dot_slices(u, d + 3, tf, 2, d)         # x·z
+                    + F.aggregate(                            # (pu∘pt)·q
+                        F.zip_with(
+                            F.zip_with(
+                                F.slice(u, 2 * d + 3, d),
+                                F.slice(tf, d + 2, d),
+                                lambda xx, yy: xx * yy,
+                            ),
+                            F.slice(v, 1, d),
+                            lambda xx, yy: xx * yy,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, xx: acc + xx,
+                    )
+                )
+                preds = j.select("rating", "tbin", pred.alias("prediction"))
+            else:
+                preds = j.select(
                     "rating",
                     "tbin",
                     F.aggregate(
@@ -279,14 +390,10 @@ def sgd(
                         lambda acc, x: acc + x,
                     ).alias("prediction"),
                 )
-            )
-            if use_bias:
-                preds = preds.withColumn("prediction", F.col("prediction") + mu)
-            if use_time:
-                preds = preds.join(tb_f, "tbin", "left").withColumn(
-                    "prediction",
-                    F.col("prediction") + F.coalesce("b", F.lit(0.0)),
-                )
+                if use_bias:
+                    preds = preds.withColumn(
+                        "prediction", F.col("prediction") + mu
+                    )
             if loss == "logistic":
                 # report RMSE in the original rating scale
                 preds = preds.withColumn(
