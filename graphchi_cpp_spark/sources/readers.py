@@ -160,7 +160,14 @@ def read_binary_edge_list(
     def decode(batches):
         for pdf in batches:
             for content in pdf["content"]:
-                n = len(content) // dtype.itemsize
+                n, extra = divmod(len(content), dtype.itemsize)
+                if extra:
+                    raise ValueError(
+                        f"binary edge file length {len(content)} is not a "
+                        f"multiple of the {dtype.itemsize}-byte record "
+                        f"({extra} trailing bytes — wrong value_format or "
+                        "corrupt file)"
+                    )
                 rec = np.frombuffer(content, dtype=dtype, count=n)
                 out = {
                     "src": rec["src"].astype("int64"),

@@ -116,6 +116,17 @@ def test_binary_edge_list_reader(spark, tmpdir):
     got = {(r["src"], r["dst"], r["weight"]) for r in ew.collect()}
     assert got == {(1, 2, 0.5), (3, 4, 1.5)}
 
+    # trailing bytes (wrong value_format / corrupt file) must fail loudly,
+    # not silently drop records (ADVICE r3)
+    import pytest as _pytest
+
+    dt = os.path.join(tmpdir, "binedges_trunc")
+    os.makedirs(dt)
+    with open(os.path.join(dt, "t.bin"), "wb") as f:
+        f.write(struct.pack("<III", 0, 1, 2))  # 12 bytes ≠ k·8
+    with _pytest.raises(Exception, match="not a multiple"):
+        read_binary_edge_list(spark, dt).collect()
+
 
 def test_matrix_market_distributed_roundtrip_sf01(spark, tmpdir):
     """sf0.1-scale round-trip (~600k rows): the writer formats rows on
