@@ -850,6 +850,93 @@ def _register_ml_extras():
         _, hist = fm(r, feature_cols=["user", "item", "tbin"], d=4, iterations=3)
         return _hist_df(spark, hist)
 
+    # gensgd input-parsing breadth (gensgd.cpp:28,:84-105,:383-460):
+    # dictionary-encoded categoricals + bucketized continuous + per-entity
+    # side-feature tables, hash-checked against DuckDB dense_rank encoding
+    _FEATURIZE_SQL = f"""
+        WITH r AS MATERIALIZED ({RATINGS_SQL}),
+        j AS MATERIALIZED (
+          SELECT r."user", r.item, r.rating, c.c_mktsegment AS seg,
+                 p.p_brand AS brand,
+                 CAST(floor(p.p_retailprice / 100.0) AS BIGINT) AS pbin
+          FROM r JOIN customer c ON c.c_custkey = r."user"
+                 JOIN part p ON p.p_partkey = r.item
+        ),
+        vu AS (SELECT val, CAST(row_number() OVER (ORDER BY val) - 1 AS BIGINT)
+               AS code FROM (SELECT DISTINCT "user" AS val FROM j)),
+        vi AS (SELECT val, CAST(row_number() OVER (ORDER BY val) - 1 AS BIGINT)
+               AS code FROM (SELECT DISTINCT item AS val FROM j)),
+        vs AS (SELECT val, CAST(row_number() OVER (ORDER BY val) - 1 AS BIGINT)
+               AS code FROM (SELECT DISTINCT seg AS val FROM j)),
+        vb AS (SELECT val, CAST(row_number() OVER (ORDER BY val) - 1 AS BIGINT)
+               AS code FROM (SELECT DISTINCT brand AS val FROM j)),
+        vp AS (SELECT val, CAST(row_number() OVER (ORDER BY val) - 1 AS BIGINT)
+               AS code FROM (SELECT DISTINCT pbin AS val FROM j))
+        SELECT j."user", j.item, round(j.rating, 4) AS rating,
+               vu.code AS f_user,
+               (SELECT count(*) FROM vu) + vi.code AS f_item,
+               (SELECT count(*) FROM vu) + (SELECT count(*) FROM vi)
+                 + vs.code AS f_seg,
+               (SELECT count(*) FROM vu) + (SELECT count(*) FROM vi)
+                 + (SELECT count(*) FROM vs) + vb.code AS f_brand,
+               (SELECT count(*) FROM vu) + (SELECT count(*) FROM vi)
+                 + (SELECT count(*) FROM vs) + (SELECT count(*) FROM vb)
+                 + vp.code AS f_price
+        FROM j JOIN vu ON vu.val = j."user" JOIN vi ON vi.val = j.item
+               JOIN vs ON vs.val = j.seg JOIN vb ON vb.val = j.brand
+               JOIN vp ON vp.val = j.pbin
+    """
+
+    @query("featurized_ratings", _FEATURIZE_SQL)
+    def q_featurize(spark, sf_dir):
+        from graphchi_cpp_spark.cf.fm import featurize
+        from graphchi_cpp_spark.datasets import load_table
+
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_retailprice"
+        )
+        out, _ = featurize(
+            _ratings(spark, sf_dir),
+            categorical=["user", "item"],
+            buckets={"p_retailprice": 100.0},
+            side_tables=[
+                (customer, "user", "c_custkey"),
+                (part, "item", "p_partkey"),
+            ],
+        )
+        return out.select(
+            "user",
+            "item",
+            F.round("rating", 4).alias("rating"),
+            F.col("_feat_0").alias("f_user"),
+            F.col("_feat_1").alias("f_item"),
+            F.col("_feat_2").alias("f_seg"),
+            F.col("_feat_3").alias("f_brand"),
+            F.col("_feat_4").alias("f_price"),
+        )
+
+    @query("gensgd_rmse_history")  # FM SGD over featurized columns — rows-only
+    def q_gensgd(spark, sf_dir):
+        from graphchi_cpp_spark.cf.fm import featurize, fm
+        from graphchi_cpp_spark.datasets import load_table
+
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        out, _ = featurize(
+            _ratings(spark, sf_dir),
+            categorical=["user", "item"],
+            side_tables=[(customer, "user", "c_custkey")],
+        )
+        _, hist = fm(
+            out, feature_cols=["_feat_0", "_feat_1", "_feat_2"],
+            d=4, iterations=2,
+        )
+        return _hist_df(spark, hist)
+
     @query("biassgd2_abs_rmse_history")  # rows-only
     def q_biassgd2_abs(spark, sf_dir):
         from graphchi_cpp_spark.cf.sgd import sgd

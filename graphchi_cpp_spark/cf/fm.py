@@ -30,6 +30,97 @@ from graphchi_cpp_spark.cf.als import _init_factors
 from graphchi_cpp_spark.cf.sgd import _OUT_SCHEMA
 
 
+def featurize(
+    df: DataFrame,
+    categorical: list[str],
+    buckets: dict[str, float] | None = None,
+    side_tables: list[tuple[DataFrame, str, str]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """gensgd's input-parsing DSL (``gensgd.cpp:28``, ``:84-105``,
+    ``:383-460``) re-expressed relationally — the reference builds
+    string→dense-id dictionaries per column (``string2nodeid``), marks
+    numeric columns as ``real_features``, and joins per-entity feature
+    files; here:
+
+    - ``categorical``: arbitrary string/numeric columns, dictionary-
+      encoded into disjoint contiguous feature-id ranges (vocab =
+      ``row_number() over (order by value)`` per column — deterministic
+      and identical to SQL ``dense_rank`` over the distinct values).
+    - ``buckets``: continuous columns discretized by width
+      (``real_features`` analog: {col: width} → floor(col/width) bins,
+      then dictionary-encoded like any categorical).
+    - ``side_tables``: (table, df_key, table_key) triples — the
+      ``--user_file``/``--item_file`` per-entity feature files; every
+      non-key column of the (pre-projected) table joins in as an extra
+      categorical feature. Inner join: rows without side features are
+      dropped, matching the reference's hard assert on unknown ids.
+
+    Returns (featurized df: original columns + ``_feat_0.._feat_{k-1}``
+    global feature ids, vocab mapping (column, value, feature_id)).
+
+    Scale: vocabs are per-column DISTINCT aggregates (map-side
+    combinable); the encode joins broadcast (vocab ≪ data). The global
+    ``row_number`` window is serial per column but runs over the vocab,
+    not the data — swap for sorted range-allocation if a single vocab
+    outgrows one executor.
+    """
+    from pyspark.sql import Window
+
+    buckets = buckets or {}
+    work = df
+    extra_cols: list[str] = []
+    for tbl, lkey, rkey in side_tables or []:
+        # bucket-source columns join in but are encoded by their bin,
+        # not as raw categoricals
+        cols = [c for c in tbl.columns if c != rkey and c not in buckets]
+        work = work.join(F.broadcast(tbl.withColumnRenamed(rkey, lkey)), lkey)
+        extra_cols += cols
+
+    specs = [(c, F.col(c)) for c in list(categorical) + extra_cols]
+    specs += [
+        (c, F.floor(F.col(c) / F.lit(float(w))).cast("long"))
+        for c, w in buckets.items()
+    ]
+
+    vocabs = []
+    for _name, expr in specs:
+        vals = work.select(expr.alias("val")).distinct()
+        vocabs.append(
+            vals.withColumn(
+                "code",
+                F.row_number().over(Window.orderBy("val")).cast("long") - 1,
+            ).localCheckpoint(eager=True)
+        )
+    sizes = [v.count() for v in vocabs]
+    offsets = [sum(sizes[:i]) for i in range(len(sizes))]
+
+    out = work
+    mapping_parts = []
+    for i, ((name, expr), vocab, off) in enumerate(zip(specs, vocabs, offsets)):
+        fcol = f"_feat_{i}"
+        out = out.withColumn(f"_v_{i}", expr).join(
+            F.broadcast(
+                vocab.select(
+                    F.col("val").alias(f"_v_{i}"),
+                    (F.col("code") + F.lit(off)).alias(fcol),
+                )
+            ),
+            f"_v_{i}",
+        ).drop(f"_v_{i}")
+        mapping_parts.append(
+            vocab.select(
+                F.lit(name).alias("column"),
+                F.col("val").cast("string").alias("value"),
+                (F.col("code") + F.lit(off)).alias("feature_id"),
+            )
+        )
+    mapping = mapping_parts[0]
+    for p in mapping_parts[1:]:
+        mapping = mapping.unionByName(p)
+    feat_cols = [f"_feat_{i}" for i in range(len(specs))]
+    return out.select(*df.columns, *feat_cols), mapping
+
+
 def fm(
     ratings: DataFrame,
     feature_cols: list[str] | None = None,

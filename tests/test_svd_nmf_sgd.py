@@ -215,6 +215,49 @@ def test_fm_converges_with_extra_field(spark, sf_dir):
     assert rmses[-1] < rmses[0]
 
 
+def test_featurize_gensgd_parsing(spark):
+    """gensgd parsing DSL: dictionary encoding over strings/ids,
+    bucketized continuous columns, side-feature table join — feature ids
+    are contiguous, disjoint per column, and deterministic."""
+    from graphchi_cpp_spark.cf.fm import featurize
+
+    r = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 3.0), (2, 10, 5.0), (3, 11, 1.0)],
+        "user long, item long, rating double",
+    )
+    side = spark.createDataFrame(
+        [(1, "alpha", 12.0), (2, "beta", 55.0), (3, "alpha", 49.0)],
+        "k long, seg string, price double",
+    )
+    out, vocab = featurize(
+        r,
+        categorical=["user", "item"],
+        buckets={"price": 10.0},
+        side_tables=[(side, "user", "k")],
+    )
+    rows = out.collect()
+    assert len(rows) == 4
+    # column ranges: user {0,1,2}, item {3,4}, seg {5,6}, price-bin {7,8,9}
+    got = {c: {r[f"_feat_{i}"] for r in rows} for i, c in
+           enumerate(["user", "item", "seg", "price"])}
+    assert got["user"] == {0, 1, 2}
+    assert got["item"] == {3, 4}
+    assert got["seg"] == {5, 6}
+    assert got["price"] <= {7, 8, 9} and len(got["price"]) == 3
+    # vocab is the join contract: ids disjoint and contiguous overall
+    ids = sorted(v["feature_id"] for v in vocab.collect())
+    assert ids == list(range(len(ids)))
+    # deterministic re-run
+    out2, _ = featurize(
+        r, categorical=["user", "item"], buckets={"price": 10.0},
+        side_tables=[(side, "user", "k")],
+    )
+    key = lambda rr: (rr["user"], rr["item"])  # noqa: E731
+    assert sorted(map(tuple, rows), key=lambda t: t[:2]) == sorted(
+        map(tuple, out2.collect()), key=lambda t: t[:2]
+    )
+
+
 def test_wals_weighted(spark, sf_dir):
     from graphchi_cpp_spark.cf.als import als
 
