@@ -1014,6 +1014,20 @@ def _register_windows():
     def q_sessionize(spark, sf_dir):
         return sessionize(load_table(spark, sf_dir, "events"))
 
+    # native F.session_window engine path (streaming-capable); same
+    # sessions as the gaps-and-islands oracle keyed by session start
+    @query(
+        "session_windows",
+        "SELECT user_id, session_start_us, n_events FROM "
+        f"({sessionize_sql()})",
+    )
+    def q_session_windows(spark, sf_dir):
+        from graphchi_cpp_spark.streaming.windows import (
+            sessionize_session_window,
+        )
+
+        return sessionize_session_window(load_table(spark, sf_dir, "events"))
+
     @query(
         "word_pair_mi",
         __import__(

@@ -71,6 +71,74 @@ def hourly_event_stats_sql() -> str:
     """
 
 
+def hourly_event_stats_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Structured Streaming twin of ``hourly_event_stats``: tumbling
+    ``F.window`` + watermark for late data, emitting the identical
+    (hour_bucket, event_type, n_events, sum_value, avg_value) schema —
+    ``window.start`` is epoch-aligned, so ``unix_micros(start) div
+    US_PER_HOUR`` equals the batch integer-division bucket exactly.
+
+    ``events`` must carry a timestamp-typed ``ts`` (streams don't go
+    through the parquet nanosAsLong legacy path). Works on a static
+    DataFrame too (same plan minus the watermark state store).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            # cast: window.start inherits ts's type, and unix_micros
+            # rejects TIMESTAMP_NTZ (session tz is UTC → cast is identity)
+            F.expr(
+                f"unix_micros(cast(window.start as timestamp)) div {US_PER_HOUR}"
+            ).alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize_session_window(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """``sessionize`` via Spark's native ``F.session_window`` — the
+    engine-managed merging-session state (streaming-capable with a
+    watermark; identical session boundaries to the batch gaps-and-islands
+    form except exact-gap ties: a follower at exactly ``prev + gap``
+    starts a new session here — half-open windows — but stays in-session
+    in ``sessionize``'s ``> gap`` test; measure-zero on µs event time).
+    Returns (user_id, session_start_us, n_events): session ids are an
+    ordinal in the batch variant, so the stable cross-variant key is the
+    session start."""
+    ts_col = events.schema["ts"].dataType
+    src = events
+    if not isinstance(ts_col, (TimestampType, TimestampNTZType)):
+        src = events.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(session_window.start as timestamp))"
+            ).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessions: a new session starts when the gap since the
     previous event exceeds ``gap_minutes`` (classic gaps-and-islands —

@@ -55,3 +55,78 @@ def test_readstream_foreachbatch_ingest(spark):
         assert got == {(1, 2), (2, 3)}
         dg.compact()
         assert dg.base_count == 2
+
+
+def test_streaming_hourly_windows_match_batch(spark):
+    """X5 streaming twin: readStream → watermark → tumbling F.window agg
+    must produce exactly the batch hourly_event_stats rows on the same
+    events (complete-mode memory sink, availableNow trigger)."""
+    from graphchi_cpp_spark.streaming.windows import (
+        hourly_event_stats,
+        hourly_event_stats_stream,
+    )
+
+    rows = [
+        ("2024-01-01T10:05:00", "view", 1.0),
+        ("2024-01-01T10:55:00", "view", 2.5),
+        ("2024-01-01T10:59:00", "purchase", 10.0),
+        ("2024-01-01T11:01:00", "view", 4.0),
+        ("2024-01-01T13:30:00", "purchase", 7.25),
+        # late arrival inside the watermark, lands in the 10:00 window
+        ("2024-01-01T10:20:00", "purchase", 3.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        os.makedirs(indir)
+        for i, (ts, et, v) in enumerate(rows):
+            with open(os.path.join(indir, f"e{i}.json"), "w") as f:
+                f.write(json.dumps({"ts": ts, "event_type": et, "value": v}))
+
+        schema = "ts timestamp, event_type string, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .json(indir)
+        )
+        q = (
+            hourly_event_stats_stream(stream)
+            .writeStream.format("memory")
+            .queryName("hourly_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        batch_df = spark.createDataFrame(
+            [(r[0].replace("T", " "), r[1], r[2]) for r in rows],
+            "ts string, event_type string, value double",
+        ).selectExpr("cast(ts as timestamp) ts", "event_type", "value")
+        expect = {
+            tuple(r) for r in hourly_event_stats(batch_df).collect()
+        }
+        got = {tuple(r) for r in spark.sql("SELECT * FROM hourly_stream").collect()}
+        assert got == expect
+        assert len(got) == 4  # 10h view / 10h purchase / 11h view / 13h purchase
+
+
+def test_session_window_matches_gaps_and_islands(spark, sf_dir):
+    """Native F.session_window sessionization equals the batch
+    lag/running-sum sessionize on the real events table (stable key =
+    (user_id, session_start_us))."""
+    from graphchi_cpp_spark.datasets import load_table
+    from graphchi_cpp_spark.streaming.windows import (
+        sessionize,
+        sessionize_session_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in sessionize(ev).collect()
+    }
+    b = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in sessionize_session_window(ev).collect()
+    }
+    assert a == b and len(a) > 0
