@@ -110,6 +110,49 @@ def test_streaming_hourly_windows_match_batch(spark):
         assert len(got) == 4  # 10h view / 10h purchase / 11h view / 13h purchase
 
 
+def test_apply_in_pandas_with_state_running_totals(spark):
+    """Arbitrary-stateful streaming (applyInPandasWithState): per-user
+    running totals survive across micro-batches via the engine state
+    store; the final update per user equals the batch aggregate."""
+    from graphchi_cpp_spark.streaming.stateful import running_user_totals
+
+    rows = [
+        (1, 10.0), (2, 5.0), (1, 2.5),   # batch 0 (one file)
+        (2, 1.0), (3, 4.0), (1, 0.5),    # batch 1
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        os.makedirs(indir)
+        for b in range(2):
+            with open(os.path.join(indir, f"b{b}.json"), "w") as f:
+                for u, v in rows[b * 3 : b * 3 + 3]:
+                    f.write(json.dumps({"user_id": u, "value": v}) + "\n")
+
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        upd = spark.sql("SELECT * FROM running_totals").collect()
+        # update mode appends one row per (user, micro-batch); the row
+        # with the user's max n_events is the final state
+        final = {}
+        for r in upd:
+            if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+                final[r["user_id"]] = (r["n_events"], r["sum_value"])
+        assert final == {1: (3, 13.0), 2: (2, 6.0), 3: (1, 4.0)}
+
+
 def test_session_window_matches_gaps_and_islands(spark, sf_dir):
     """Native F.session_window sessionization equals the batch
     lag/running-sum sessionize on the real events table (stable key =

@@ -18,8 +18,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from graphchi_cpp_spark.graph import PropertyGraph, erdos_renyi
 from graphchi_cpp_spark.session import get_spark
 
