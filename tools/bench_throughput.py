@@ -49,6 +49,33 @@ def main():
         connected_components(g, max_iter=30).count()
         cc_s = time.time() - t0
 
+        t0 = time.time()
+        from graphchi_cpp_spark.algos.triangles import triangle_count
+
+        triangle_count(g).collect()
+        tri_s = time.time() - t0
+
+        # ALS ratings-throughput (baseline row: 1.7M ratings/s/iter):
+        # synthetic (user, item, rating) at the same row count, d=2
+        # expression path, 3 iterations
+        from pyspark.sql import functions as F
+
+        from graphchi_cpp_spark.cf.als import als
+
+        n_users, n_items = max(1000, m // 10), max(500, m // 100)
+        ratings = (
+            spark.range(m)
+            .select(
+                (F.col("id") % n_users).alias("user"),
+                F.pmod(F.col("id") * 2654435761, F.lit(n_items)).alias("item"),
+                (1.0 + (F.col("id") % 5)).cast("double").alias("rating"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        als(ratings, d=2, iterations=3)
+        als_s = time.time() - t0
+
         results.append(
             {
                 "n_edges": m,
@@ -56,6 +83,10 @@ def main():
                 "pagerank_edges_per_s_per_iter": int(3 * m / pr_s),
                 "wcc_s": round(cc_s, 2),
                 "wcc_edges_per_s": int(m / cc_s),
+                "triangles_s": round(tri_s, 2),
+                "triangles_edges_per_s": int(m / tri_s),
+                "als_3iter_s": round(als_s, 2),
+                "als_ratings_per_s_per_iter": int(3 * m / als_s),
             }
         )
         print(json.dumps(results[-1]))
