@@ -112,6 +112,43 @@ def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize: mapInPandas over image rows, emitting the resized
+    payload with updated metadata — the training-pipeline normalize-
+    resolution step. The codec is the documented stub (deterministic
+    np.interp byte resample to exactly width·height bytes); a real
+    PIL/opencv decode-resize-encode drops into the same loop unchanged.
+    Output schema matches MEDIA_SCHEMA so resized tables compose with
+    every other media operator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+                idx = np.linspace(0.0, max(len(arr) - 1, 0), n)
+                payloads.append(
+                    np.interp(idx, np.arange(len(arr)), arr)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Typed-metadata aggregation: per kind, count / bytes / dimensions."""
     return (

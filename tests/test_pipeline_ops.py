@@ -200,6 +200,22 @@ def test_multimodal_plumbing(spark):
     stats = media_stats(media).collect()
     assert {r["kind"] for r in stats} == {"image", "audio", "video"}
 
+    # resize: every image row re-emitted at the target resolution with a
+    # payload of exactly width*height bytes; output schema composes with
+    # the other media ops (feature extraction runs on the resized table)
+    from graphchi_cpp_spark.operators.multimodal import resize_images
+
+    rs = resize_images(media, width=32, height=24)
+    rrows = rs.collect()
+    assert len(rrows) == media.filter(F.col("kind") == "image").count()
+    assert all(len(r["payload"]) == 32 * 24 for r in rrows)
+    assert all((r["width"], r["height"]) == (32, 24) for r in rrows)
+    assert extract_features(rs, dim=8).count() == len(rrows)
+    # deterministic
+    again_rs = {r["media_id"]: r["payload"] for r in
+                resize_images(media, width=32, height=24).collect()}
+    assert all(again_rs[r["media_id"]] == r["payload"] for r in rrows)
+
 
 def test_multimodal_unknown_kind_raises(spark):
     from graphchi_cpp_spark.operators.multimodal import MEDIA_SCHEMA
