@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "msf",
     "streaming_pagerank",
     "als_coord_rmse_history",
+    "session_windows",
+    "featurized_ratings",
 ]
 
 
