@@ -114,6 +114,37 @@ def test_pregel_frontier_both_directions(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
+def test_ts_us_sql_across_parquet_encodings(spark, tmpdir):
+    """Regression guard for the r3-class breakage: the driver's
+    events.parquet has shipped ts as TIMESTAMP(NANOS)-read-as-long AND as
+    timestamp[us] (TIMESTAMP_NTZ) across testdata generations. ts_us_sql
+    must yield identical µs-since-epoch for every on-disk encoding."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphchi_cpp_spark.streaming.windows import ts_us_sql
+
+    base_us = [1_704_103_200_000_000 + i * 37_000_001 for i in range(50)]
+    encodings = {
+        "ntz": pa.array(base_us, type=pa.timestamp("us")),
+        "utc": pa.array(base_us, type=pa.timestamp("us", tz="UTC")),
+        # version>=2.6 keeps TIMESTAMP(NANOS) on disk — the encoding the
+        # nanosAsLong session conf reads back as int64
+        "ns": pa.array([u * 1000 for u in base_us], type=pa.timestamp("ns")),
+    }
+    for name, arr in encodings.items():
+        path = os.path.join(tmpdir, f"{name}.parquet")
+        pq.write_table(pa.table({"ts": arr}), path, version="2.6")
+        df = spark.read.parquet(path)
+        got = sorted(
+            r["us"]
+            for r in df.select(F.expr(ts_us_sql(df)).alias("us")).collect()
+        )
+        assert got == base_us, f"encoding {name}: {df.schema['ts'].dataType}"
+
+
 def test_pregel_frontier_both_directions_sum(spark):
     """Non-idempotent (sum) aggregate with a both-directions frontier:
     each direction must draw from its OWN sender-active edge set. The old
