@@ -21,6 +21,13 @@ Scale notes: min is commutative → map-side partial agg bounds shuffle to
 O(active vertices); symmetrized edge table cached once. For graphs with
 giant diameter, switch to the large-star/small-star contraction algorithm
 (future work) — label propagation is O(diameter) supersteps.
+
+Measured dead end (r4): per-round pointer jumping (label ← label(label)
+via a V-row self-join on the label column) was 5× SLOWER at 10M edges
+(94s vs 18s) — once the giant component forms, nearly every row carries
+the same label, so the self-join has one massive hot key that AQE can't
+split usefully (unique-keyed build side). Don't retry without a
+skew-aware design (e.g. jump only the frontier's labels).
 """
 
 from __future__ import annotations
