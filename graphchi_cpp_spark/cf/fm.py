@@ -35,6 +35,7 @@ def featurize(
     categorical: list[str],
     buckets: dict[str, float] | None = None,
     side_tables: list[tuple[DataFrame, str, str]] | None = None,
+    window_limit: int = 10_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """gensgd's input-parsing DSL (``gensgd.cpp:28``, ``:84-105``,
     ``:383-460``) re-expressed relationally — the reference builds
@@ -59,10 +60,11 @@ def featurize(
     global feature ids, vocab mapping (column, value, feature_id)).
 
     Scale: vocabs are per-column DISTINCT aggregates (map-side
-    combinable); the encode joins broadcast (vocab ≪ data). The global
-    ``row_number`` window is serial per column but runs over the vocab,
-    not the data — swap for sorted range-allocation if a single vocab
-    outgrows one executor.
+    combinable); the encode joins broadcast (vocab ≪ data). Vocab ids
+    come from a global ``row_number`` window while the vocab fits one
+    executor (``window_limit``); above that, a distributed sort +
+    ``zipWithIndex`` assigns the identical value-ordered contiguous
+    codes without the single-partition bottleneck.
     """
     from pyspark.sql import Window
 
@@ -82,16 +84,38 @@ def featurize(
         for c, w in buckets.items()
     ]
 
-    vocabs = []
+    vocabs, sizes = [], []
     for _name, expr in specs:
-        vals = work.select(expr.alias("val")).distinct()
-        vocabs.append(
-            vals.withColumn(
+        vals = work.select(expr.alias("val")).distinct().localCheckpoint(
+            eager=True
+        )
+        n = vals.count()
+        if n <= window_limit:
+            vocab = vals.withColumn(
                 "code",
                 F.row_number().over(Window.orderBy("val")).cast("long") - 1,
-            ).localCheckpoint(eager=True)
-        )
-    sizes = [v.count() for v in vocabs]
+            )
+        else:
+            # distributed assignment of the same value-ordered contiguous
+            # codes: range-partitioned sort, then zipWithIndex (indices
+            # follow partition order, which after sort IS value order)
+            spark = df.sparkSession
+            val_type = vals.schema["val"].dataType
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            vocab = spark.createDataFrame(
+                vals.orderBy("val").rdd.zipWithIndex().map(
+                    lambda t: (t[0]["val"], t[1])
+                ),
+                StructType(
+                    [
+                        StructField("val", val_type),
+                        StructField("code", LongType()),
+                    ]
+                ),
+            )
+        vocabs.append(vocab.localCheckpoint(eager=True))
+        sizes.append(n)
     offsets = [sum(sizes[:i]) for i in range(len(sizes))]
 
     out = work

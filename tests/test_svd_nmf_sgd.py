@@ -256,6 +256,15 @@ def test_featurize_gensgd_parsing(spark):
     assert sorted(map(tuple, rows), key=lambda t: t[:2]) == sorted(
         map(tuple, out2.collect()), key=lambda t: t[:2]
     )
+    # the distributed zipWithIndex vocab path (window_limit exceeded)
+    # must assign identical codes to the window path
+    out3, _ = featurize(
+        r, categorical=["user", "item"], buckets={"price": 10.0},
+        side_tables=[(side, "user", "k")], window_limit=1,
+    )
+    assert sorted(map(tuple, rows), key=lambda t: t[:2]) == sorted(
+        map(tuple, out3.collect()), key=lambda t: t[:2]
+    )
 
 
 def test_wals_weighted(spark, sf_dir):
