@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from graphchi_cpp_spark.cf.als import _init_factors
-from graphchi_cpp_spark.cf.sgd import _OUT_SCHEMA
+from graphchi_cpp_spark.cf.sgd import _OUT_SCHEMA, auto_num_blocks
 
 
 def _sig(x: float) -> float:
@@ -47,8 +47,7 @@ def climf(
     """Returns (user_factors, item_factors, history) with history rows
     {iter, objective} — the smoothed-MRR lower bound, ascending."""
     if num_blocks is None:
-        n = ratings.count()
-        num_blocks = max(8, min(4096, -(-n // target_block_rows)))
+        num_blocks = auto_num_blocks(ratings, target_block_rows)
 
     rel = (
         ratings.filter(F.col("rating") >= relevance_threshold)

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from graphchi_cpp_spark.cf.als import _init_factors
+from graphchi_cpp_spark.cf.sgd import auto_num_blocks
 from graphchi_cpp_spark.cf.sgd import _OUT_SCHEMA
 
 
@@ -120,16 +121,22 @@ def featurize(
 
     out = work
     mapping_parts = []
-    for i, ((name, expr), vocab, off) in enumerate(zip(specs, vocabs, offsets)):
+    for i, ((name, expr), vocab, off, sz) in enumerate(
+        zip(specs, vocabs, offsets, sizes)
+    ):
         fcol = f"_feat_{i}"
+        code_side = vocab.select(
+            F.col("val").alias(f"_v_{i}"),
+            (F.col("code") + F.lit(off)).alias(fcol),
+        )
+        # broadcast only vocabs small enough to materialize on the driver;
+        # the >window_limit distributed-zipWithIndex vocabs would blow the
+        # broadcast hard limits (8 GB / 512M rows) — let those take a
+        # shuffle join, which is the scale path they were built for
+        if sz <= window_limit:
+            code_side = F.broadcast(code_side)
         out = out.withColumn(f"_v_{i}", expr).join(
-            F.broadcast(
-                vocab.select(
-                    F.col("val").alias(f"_v_{i}"),
-                    (F.col("code") + F.lit(off)).alias(fcol),
-                )
-            ),
-            f"_v_{i}",
+            code_side, f"_v_{i}"
         ).drop(f"_v_{i}")
         mapping_parts.append(
             vocab.select(
@@ -161,8 +168,7 @@ def fm(
     global intercept w0 is returned in history[-1]['w0']."""
     feature_cols = feature_cols or ["user", "item"]
     if num_blocks is None:
-        n = ratings.count()
-        num_blocks = max(8, min(4096, -(-n // target_block_rows)))
+        num_blocks = auto_num_blocks(ratings, target_block_rows)
 
     # offset each column into a disjoint global feature-id space
     maxes = ratings.agg(

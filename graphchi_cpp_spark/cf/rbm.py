@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from graphchi_cpp_spark.cf.sgd import _OUT_SCHEMA
+from graphchi_cpp_spark.cf.sgd import _OUT_SCHEMA, auto_num_blocks
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -48,8 +48,7 @@ def rbm(
     ``item_state.factors`` = [bi(bins) ++ w(bins·d)] flattened; user rows
     carry the final hidden activation probabilities h."""
     if num_blocks is None:
-        n = ratings.count()
-        num_blocks = max(8, min(4096, -(-n // target_block_rows)))
+        num_blocks = auto_num_blocks(ratings, target_block_rows)
 
     r = ratings.select(
         "user",

@@ -60,6 +60,27 @@ _OUT_SCHEMA = StructType(
 )
 
 
+def auto_num_blocks(
+    ratings: DataFrame, target_block_rows: int, floor: int = 8, cap: int = 4096
+) -> int:
+    """Shared block-count rule for the block-SGD family (sgd/fm/climf/rbm).
+
+    Data-sized (~``target_block_rows`` rows/block) with a parallelism
+    floor so small inputs still use every core — but the parallelism
+    floor is itself bounded by the data-sized count: on a 1000-executor
+    cluster with a small dataset, ``defaultParallelism`` alone would
+    mint thousands of near-empty blocks whose per-block applyInPandas
+    overhead dominates. Net: floor ≤ blocks ≤ cap, and parallelism only
+    raises the count up to what the rows can fill."""
+    n = ratings.count()
+    par = ratings.sparkSession.sparkContext.defaultParallelism
+    data_sized = -(-n // target_block_rows)
+    # par may raise the block count above data_sized, but never past one
+    # block per ~1000 rows — that's where near-empty-block overhead starts
+    par_bounded = min(par, -(-n // 1000)) if n else floor
+    return max(floor, min(cap, max(data_sized, par_bounded)))
+
+
 def sgd(
     ratings: DataFrame,
     d: int = 5,
@@ -104,11 +125,7 @@ def sgd(
         raise ValueError("timesvdpp needs time_col")
 
     if num_blocks is None:
-        # floor at the session's parallelism: data-sized blocks alone
-        # leave cores idle (600k ratings / 50k = 12 blocks on 32 cores)
-        n = ratings.count()
-        par = ratings.sparkSession.sparkContext.defaultParallelism
-        num_blocks = max(8, par, min(4096, -(-n // target_block_rows)))
+        num_blocks = auto_num_blocks(ratings, target_block_rows)
 
     tcols = (
         [F.col(time_col).cast("long").alias("tbin")]

@@ -129,6 +129,12 @@ def resize_images(
             payloads = []
             for p in pdf["payload"]:
                 arr = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+                if len(arr) == 0:
+                    # empty payload: np.interp raises on an empty xp; emit
+                    # a zero image of the target size instead of failing
+                    # the whole mapInPandas task on one corrupt row
+                    payloads.append(bytes(n))
+                    continue
                 idx = np.linspace(0.0, max(len(arr) - 1, 0), n)
                 payloads.append(
                     np.interp(idx, np.arange(len(arr)), arr)

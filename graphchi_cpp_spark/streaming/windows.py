@@ -112,9 +112,8 @@ def sessionize_session_window(
     """``sessionize`` via Spark's native ``F.session_window`` — the
     engine-managed merging-session state (streaming-capable with a
     watermark; identical session boundaries to the batch gaps-and-islands
-    form except exact-gap ties: a follower at exactly ``prev + gap``
-    starts a new session here — half-open windows — but stays in-session
-    in ``sessionize``'s ``> gap`` test; measure-zero on µs event time).
+    form, including exact-gap ties — both use half-open semantics where a
+    follower at exactly ``prev + gap`` starts a new session).
     Returns (user_id, session_start_us, n_events): session ids are an
     ordinal in the batch variant, so the stable cross-variant key is the
     session start."""
@@ -141,8 +140,10 @@ def sessionize_session_window(
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessions: a new session starts when the gap since the
-    previous event exceeds ``gap_minutes`` (classic gaps-and-islands —
-    the batch analog of Structured Streaming session windows).
+    previous event reaches ``gap_minutes`` (classic gaps-and-islands;
+    half-open ``>= gap`` boundary to agree bit-exactly with Spark's
+    native ``F.session_window`` — [start, start+gap) — even on
+    coarse-grained timestamps where exact-gap ties are real).
     Returns (user_id, session_id, session_start_ns, n_events)."""
     from pyspark.sql import Window
 
@@ -155,7 +156,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     marked = ev.withColumn(
         "new_session",
         F.when(prev.isNull(), 1)
-        .when((F.col("ts_us") - prev) > gap_us, 1)
+        .when((F.col("ts_us") - prev) >= gap_us, 1)
         .otherwise(0),
     ).withColumn(
         "session_id",
@@ -175,7 +176,7 @@ def sessionize_sql(gap_minutes: int = 30) -> str:
                      WHEN lag(epoch_us(ts)) OVER
                           (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                          (PARTITION BY user_id ORDER BY ts) > {gap_us} THEN 1
+                          (PARTITION BY user_id ORDER BY ts) >= {gap_us} THEN 1
                      ELSE 0 END AS new_session
             FROM events
         ),
