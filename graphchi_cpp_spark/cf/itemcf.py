@@ -17,19 +17,28 @@ degrees for AA/RA):
 - aa          = Σ_{u∈A∩B} 1/log(deg_u)               (itemcf.cpp:228)
 - ra          = Σ_{u∈A∩B} 1/deg_u                    (itemcf.cpp:234)
 
-Scale notes: the self-join on user explodes with user-degree² — cap or
-bucket power users upstream (the reference's pivot batching plays the
-same role). All aggregations are sum/count → map-side combinable; the
+Scale notes: the self-join on user explodes with user-degree², so the
+power-user cap is ON BY DEFAULT (``DEFAULT_MAX_USER_DEGREE`` = 1000,
+the reference's pivot batching plays the same memory-bounding role);
+uncapped exact computation is an explicit ``max_user_degree=None``
+opt-in. All aggregations are sum/count → map-side combinable; the
 pair space is pruned to item_a < item_b.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window, functions as F
 
+from graphchi_cpp_spark.operators.text import md5_long
 from graphchi_cpp_spark.operators.toplist import top_k_per_key
 
+log = logging.getLogger(__name__)
+
 METRICS = ("jaccard", "cosine", "asym_cosine", "prob", "aa", "ra")
+
+DEFAULT_MAX_USER_DEGREE = 1000
 
 
 def item_similarity(
@@ -37,7 +46,7 @@ def item_similarity(
     metric: str = "jaccard",
     alpha: float = 0.5,
     min_common: int = 1,
-    max_user_degree: int | None = None,
+    max_user_degree: int | None = DEFAULT_MAX_USER_DEGREE,
 ) -> DataFrame:
     """(item_a, item_b, sim) for item_a < item_b (plus both directions for
     asymmetric metrics: prob / asym_cosine emit (a,b) meaning sim(a→b)).
@@ -45,27 +54,44 @@ def item_similarity(
     ``ratings`` needs columns (user, item); rating values are ignored —
     the reference treats the matrix as binary for these metrics.
 
-    ``max_user_degree``: power-user cap — the user self-join explodes with
-    user-degree², so a user with 10⁶ items would alone produce 10¹² pairs.
-    When set, each user keeps at most this many items (deterministic
-    hash-ordered sample), and degrees/similarities are computed on the
-    CAPPED matrix so every metric stays internally consistent. This plays
-    the memory-bounding role of the reference's pivot batching
-    (``itemcf.cpp:206``), trading a documented approximation for a hard
-    bound on join fan-out.
+    ``max_user_degree``: power-user cap, ON BY DEFAULT (1000) — the user
+    self-join explodes with user-degree², so one user with 10⁶ items
+    would alone produce 10¹² pairs. Each user keeps at most this many
+    items (deterministic md5-ordered sample — the same cross-engine hash
+    as ``kfold_bucket``, so a SQL oracle reproduces the identical cap),
+    and degrees/similarities are computed on the CAPPED matrix so every
+    metric stays internally consistent. This plays the memory-bounding
+    role of the reference's pivot batching (``itemcf.cpp:206``), trading
+    a documented approximation for a hard bound on join fan-out. Pass
+    ``max_user_degree=None`` to opt into the uncapped exact computation.
+    The number of capped users is logged at INFO when the cap binds.
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
     ui = ratings.select("user", "item").distinct()
     if max_user_degree is not None:
-        w = Window.partitionBy("user").orderBy(F.xxhash64("user", "item"), "item")
-        ui = (
-            ui.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_user_degree)
-            .drop("_rn")
+        w = Window.partitionBy("user").orderBy(
+            md5_long(F.concat_ws("_", "user", "item")), "item"
         )
-    # materialized once: referenced by degrees AND both join sides
-    ui = ui.localCheckpoint(eager=True)
+        marked = ui.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+            eager=True
+        )
+        n_capped = (
+            marked.filter(F.col("_rn") > max_user_degree)
+            .select("user")
+            .distinct()
+            .count()
+        )
+        if n_capped:
+            log.info(
+                "item_similarity: capped %d power user(s) at degree %d",
+                n_capped,
+                max_user_degree,
+            )
+        ui = marked.filter(F.col("_rn") <= max_user_degree).drop("_rn")
+    else:
+        # materialized once: referenced by degrees AND both join sides
+        ui = ui.localCheckpoint(eager=True)
     item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
     user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
     # degree tables are O(#entities); broadcast below a size guard
@@ -116,10 +142,31 @@ def item_similarity(
     return j.select("item_a", "item_b", sim.cast("double").alias("sim"))
 
 
-def item_similarity_sql(ratings_sql: str, metric: str = "jaccard", min_common: int = 1) -> str:
-    """DuckDB oracle for the symmetric metrics (jaccard/cosine/aa/ra)."""
-    base = f"""
-        ui AS (SELECT DISTINCT "user", item FROM ({ratings_sql})),
+def item_similarity_sql(
+    ratings_sql: str,
+    metric: str = "jaccard",
+    min_common: int = 1,
+    max_user_degree: int | None = DEFAULT_MAX_USER_DEGREE,
+) -> str:
+    """DuckDB oracle for the symmetric metrics (jaccard/cosine/aa/ra).
+    Reproduces ``item_similarity``'s default power-user cap bit-exactly
+    (same md5-derived per-user ordering)."""
+    if max_user_degree is not None:
+        ui_cte = f"""
+        ui_all AS (SELECT DISTINCT "user", item FROM ({ratings_sql})),
+        ui AS (
+            SELECT "user", item FROM (
+                SELECT "user", item, row_number() OVER (
+                    PARTITION BY "user"
+                    ORDER BY ('0x' || substr(md5(concat("user", '_', item)), 1, 15))::BIGINT,
+                             item
+                ) AS _rn FROM ui_all
+            ) WHERE _rn <= {max_user_degree}
+        ),"""
+    else:
+        ui_cte = f"""
+        ui AS (SELECT DISTINCT "user", item FROM ({ratings_sql})),"""
+    base = f"""{ui_cte}
         item_deg AS (SELECT item, count(*) AS n FROM ui GROUP BY item),
         user_deg AS (SELECT "user", count(*) AS user_deg FROM ui GROUP BY "user"),
         pairs AS (
@@ -199,7 +246,7 @@ def itemcf_cv(
     top_k: int = 5,
     min_common: int = 1,
     like_threshold: float = 4.0,
-    max_user_degree: int | None = None,
+    max_user_degree: int | None = DEFAULT_MAX_USER_DEGREE,
 ) -> DataFrame:
     """K-fold cross-validation driver for item-CF (the role of the
     ``itemcf2.cpp:324`` / ``itemcf3.cpp:259`` variant CLIs — their
@@ -240,6 +287,7 @@ def itemcf_cv_sql(
     min_common: int = 1,
     like_threshold: float = 4.0,
     ndigits: int = 6,
+    max_user_degree: int | None = DEFAULT_MAX_USER_DEGREE,
 ) -> str:
     """DuckDB oracle for ``itemcf_cv`` — the md5 fold hash makes the
     train/held splits bit-identical to the Spark side, and scores are
@@ -257,7 +305,8 @@ def itemcf_cv_sql(
     for f in range(k_folds):
         train = f'SELECT "user", item, rating FROM r WHERE fb != {f}'
         ctes.append(
-            f"sims{f} AS MATERIALIZED ({item_similarity_sql(train, metric, min_common)})"
+            f"sims{f} AS MATERIALIZED "
+            f"({item_similarity_sql(train, metric, min_common, max_user_degree)})"
         )
         ctes.append(
             f"""recs{f} AS MATERIALIZED (

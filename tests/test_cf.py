@@ -75,6 +75,22 @@ def test_itemcf_cv_folds(spark, sf_dir):
         assert row["n_users"] > 0
 
 
+def test_itemcf_cap_binds_vs_duckdb(spark, sf_dir, duck):
+    """With a tiny cap that definitely binds, the md5-ordered per-user
+    sample must agree bit-exactly between Spark and the DuckDB oracle
+    (same cross-engine hash as kfold_bucket)."""
+    r = ratings(spark, sf_dir)
+    result = item_similarity(r, "jaccard", min_common=2, max_user_degree=5).select(
+        "item_a", "item_b", F.round("sim", 6).alias("sim")
+    )
+    sql = f"""
+        SELECT item_a, item_b, round(sim, 6) AS sim
+        FROM ({item_similarity_sql(RATINGS_SQL, "jaccard", min_common=2,
+                                   max_user_degree=5)})
+    """
+    assert_df_matches_oracle(result, duck, sql, float_ndigits=5)
+
+
 def test_itemcf_vs_duckdb(spark, sf_dir, duck):
     r = ratings(spark, sf_dir)
     for metric in ("jaccard", "cosine", "aa", "ra"):
