@@ -816,28 +816,49 @@ def _register_ml_extras():
         )
         return _hist_df(spark, hist)
 
-    @query("pmf_rmse_history")  # seeded Gibbs sampling — rows-only
+    # deterministic posterior-mean mode (ICM over the BPMF posterior):
+    # at d=1 the whole 3-sweep trajectory is closed-form, so the oracle
+    # replays it in chained CTEs on the full ratings table. The seeded
+    # Gibbs 'sample' mode stays exercised in pytest (test_adpredictor).
+    from graphchi_cpp_spark.cf.pmf import pmf_mean_sql
+
+    @query("pmf_rmse_history", pmf_mean_sql(RATINGS_SQL, iterations=3))
     def q_pmf(spark, sf_dir):
         from graphchi_cpp_spark.cf.pmf import pmf
 
-        _, _, hist = pmf(_ratings(spark, sf_dir), d=4, iterations=4, burn_in=1)
+        _, _, hist = pmf(
+            _ratings(spark, sf_dir), d=1, iterations=3, burn_in=0, mode="mean"
+        )
         return _hist_df(spark, hist)
 
-    @query("climf_objective_history")  # smoothed-MRR ascent — rows-only
+    # objective is reported from epoch-START factors, so iteration 0 is
+    # a closed form of the hash init — full hash oracle. Multi-iteration
+    # ascent stays covered in pytest (test_svd_nmf_sgd).
+    from graphchi_cpp_spark.cf.climf import climf_objective_sql
+
+    @query("climf_objective_history", climf_objective_sql(RATINGS_SQL, d=4))
     def q_climf(spark, sf_dir):
         from graphchi_cpp_spark.cf.climf import climf
 
-        _, _, hist = climf(_ratings(spark, sf_dir), d=4, iterations=3, gamma=0.005)
+        _, _, hist = climf(_ratings(spark, sf_dir), d=4, iterations=1, gamma=0.005)
         return spark.createDataFrame(
             [(h["iter"], round(h["objective"], 4)) for h in hist],
             "iter int, objective double",
         )
 
-    @query("rbm_rmse_history")  # seeded CD-1 sampling — rows-only
+    # singleton user blocks (num_blocks > max user id) make the first
+    # epoch's predictions a pure function of the deterministic init —
+    # full hash oracle for iteration 0. Multi-epoch seeded CD-1 stays
+    # covered in pytest (test_svd_nmf_sgd).
+    from graphchi_cpp_spark.cf.rbm import rbm_iter0_sql
+
+    @query("rbm_rmse_history", rbm_iter0_sql(RATINGS_SQL, d=6))
     def q_rbm(spark, sf_dir):
         from graphchi_cpp_spark.cf.rbm import rbm
 
-        _, _, hist = rbm(_ratings(spark, sf_dir), d=6, iterations=3)
+        r = _ratings(spark, sf_dir)
+        max_user = r.agg(F.max("user")).collect()[0][0]
+        _, _, hist = rbm(r, d=6, iterations=1, num_blocks=int(max_user) + 1)
         return _hist_df(spark, hist)
 
     @query("libfm_rmse_history")  # FM SGD epochs — rows-only

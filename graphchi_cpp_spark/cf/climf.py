@@ -85,6 +85,17 @@ def climf(
                     V.append(v)
                 ni = len(iids)
                 f = [float(U @ V[j]) for j in range(ni)]
+                # objective scores from EPOCH-START factors (grp columns,
+                # untouched by this block's in-place item writes): the
+                # reported objective at iteration t is then a pure
+                # function of the factors entering epoch t — block- and
+                # order-independent, and closed-form at t=0
+                # (``climf_objective_sql``). Gradients keep the
+                # reference's in-place reads (f above).
+                f0 = [
+                    float(U @ np.asarray(grp["_if"].iloc[j], dtype=float))
+                    for j in range(ni)
+                ]
                 if ni >= 2:
                     # pre-update norm, like the reference's objective init
                     obj = -0.5 * lam * float(U @ U)
@@ -112,11 +123,11 @@ def climf(
                                     1.0 - gkj
                                 )
                     U = U + gamma_it * dU
-                    # smoothed-MRR objective with the pre-update scores
+                    # smoothed-MRR objective with the epoch-start scores
                     for j in range(ni):
-                        obj += np.log(_sig(f[j]))
+                        obj += np.log(_sig(f0[j]))
                         for k in range(ni):
-                            obj += np.log(1.0 - _sig(f[k] - f[j]))
+                            obj += np.log(1.0 - _sig(f0[k] - f0[j]))
                     objective += obj
                 out_users[uid] = U
             out = [
@@ -167,6 +178,67 @@ def climf(
         )
         history.append({"iter": it, "objective": float(objective or 0.0)})
     return user_f, item_f, history
+
+
+def climf_objective_sql(
+    ratings_sql: str,
+    d: int = 4,
+    lam: float = 0.001,
+    relevance_threshold: float = 4.0,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for ``climf(...)``'s iteration-0 objective row: the
+    smoothed-MRR lower bound at the deterministic hash init is a closed
+    form — Σ over users with ≥2 relevant items of
+    −½λ‖U‖² + Σ_j ln σ(f_j) + Σ_{j,k} ln(1−σ(f_k−f_j)), f = U·V with
+    the ``_init_factors`` hash components."""
+    u_comps = ", ".join(
+        f"((id * {2654435761 + 97 * j} + {12289 * j}) % 100003) / 1000030.0"
+        f" AS c{j}"
+        for j in range(d)
+    )
+    dot = " + ".join(f"u.c{j} * v.c{j}" for j in range(d))
+    unorm = " + ".join(f"c{j} * c{j}" for j in range(d))
+    return f"""
+        WITH rel AS MATERIALIZED (
+          SELECT "user", item FROM ({ratings_sql})
+          WHERE rating >= {relevance_threshold}
+        ),
+        big AS MATERIALIZED (
+          SELECT "user" FROM rel GROUP BY "user" HAVING count(*) >= 2
+        ),
+        uf AS (
+          SELECT id, {u_comps}
+          FROM (SELECT DISTINCT "user" AS id FROM rel)
+        ),
+        vf AS (
+          SELECT id, {u_comps}
+          FROM (SELECT DISTINCT item AS id FROM rel)
+        ),
+        scored AS MATERIALIZED (
+          SELECT rel."user", rel.item, {dot} AS f
+          FROM rel JOIN big USING ("user")
+          JOIN uf u ON u.id = rel."user"
+          JOIN vf v ON v.id = rel.item
+        ),
+        point AS (
+          SELECT "user", sum(ln(1.0 / (1.0 + exp(-f)))) AS ps
+          FROM scored GROUP BY "user"
+        ),
+        pair AS (
+          SELECT a."user",
+                 sum(ln(1.0 - 1.0 / (1.0 + exp(-(b.f - a.f))))) AS qs
+          FROM scored a JOIN scored b ON a."user" = b."user"
+          GROUP BY a."user"
+        ),
+        reg AS (
+          SELECT u.id AS "user", -0.5 * {lam} * ({unorm}) AS rg
+          FROM uf u JOIN big ON big."user" = u.id
+        )
+        SELECT CAST(0 AS INT) AS iter,
+               round(sum(ps + qs + rg), {ndigits}) AS objective
+        FROM point JOIN pair USING ("user") JOIN reg USING ("user")
+    """
 
 
 def smoothed_mrr(

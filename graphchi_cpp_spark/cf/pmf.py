@@ -92,10 +92,22 @@ def pmf(
     iterations: int = 6,
     burn_in: int = 2,
     alpha: float = ALPHA,
+    mode: str = "sample",
 ) -> tuple[DataFrame, DataFrame, list[dict]]:
     """Returns (user_factors, item_factors, history) where history rows
     carry {iter, train_rmse} of the post-burn-in averaged predictions
-    (pre-burn-in: RMSE of the current sample)."""
+    (pre-burn-in: RMSE of the current sample).
+
+    ``mode``: 'sample' (default) is the reference's Gibbs sampler;
+    'mean' replaces every draw with its posterior mean — hyperpriors
+    take the Gaussian-Wishart posterior mean (μ* , ν*·W*) and each
+    entity takes the conditional-Gaussian mean instead of a Cholesky
+    draw. That is iterated conditional modes over the same BPMF
+    posterior: fully deterministic, independent of block partitioning,
+    and (at d=1) closed-form enough that a SQL engine can replay the
+    whole trajectory — ``pmf_mean_sql`` is that DuckDB oracle."""
+    if mode not in ("sample", "mean"):
+        raise ValueError(mode)
     r = ratings.select("user", "item", F.col("rating").cast("double")).cache()
     user_f = _init_factors(r.select("user").distinct(), "user", d).localCheckpoint(
         eager=True
@@ -106,8 +118,18 @@ def pmf(
 
     def gibbs_side(side_f, fixed_f, group_col, other_col, sweep, side_id):
         n, xbar, exx = _factor_moments(side_f, d)
-        hyper_rng = np.random.default_rng(1_000_003 * sweep + side_id + 1)
-        mu_h, lam_h = _sample_hyper(n, xbar, exx, hyper_rng)
+        if mode == "mean":
+            beta0 = 2.0
+            S = exx - np.outer(xbar, xbar)
+            beta_star, nu_star = beta0 + n, d + n
+            Winv = np.eye(d) + n * S + (beta0 * n / beta_star) * np.outer(
+                xbar, xbar
+            )
+            lam_h = nu_star * np.linalg.inv(Winv)  # E[Wishart(ν*, W*)]
+            mu_h = (n * xbar) / beta_star
+        else:
+            hyper_rng = np.random.default_rng(1_000_003 * sweep + side_id + 1)
+            mu_h, lam_h = _sample_hyper(n, xbar, exx, hyper_rng)
         lam_mu = lam_h @ mu_h
 
         schema = StructType(
@@ -125,10 +147,13 @@ def pmf(
                 lam_star = lam_h + alpha * (A.T @ A)
                 cov = np.linalg.inv(lam_star)
                 mean = cov @ (alpha * (A.T @ b) + lam_mu)
-                rng = np.random.default_rng(
-                    (int(key) * 2654435761 + sweep * 97 + side_id) & 0x7FFFFFFF
-                )
-                x = mean + np.linalg.cholesky(cov) @ rng.standard_normal(d)
+                if mode == "mean":
+                    x = mean
+                else:
+                    rng = np.random.default_rng(
+                        (int(key) * 2654435761 + sweep * 97 + side_id) & 0x7FFFFFFF
+                    )
+                    x = mean + np.linalg.cholesky(cov) @ rng.standard_normal(d)
                 keys.append(key)
                 out.append([float(v) for v in x])
             return pd.DataFrame({group_col: keys, "factors": out})
@@ -194,3 +219,88 @@ def pmf(
         ).collect()[0][0]
         history.append({"iter": it, "train_rmse": float(rmse)})
     return user_f, item_f, history
+
+
+def pmf_mean_sql(
+    ratings_sql: str,
+    iterations: int = 3,
+    alpha: float = ALPHA,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle replaying ``pmf(d=1, burn_in=0, mode='mean')`` on
+    the full ratings table — iteration-chained CTEs, one pair of
+    half-sweeps per iteration (the NMF unrolled-CTE pattern).
+
+    d=1 closed forms of the mean-mode math: moments (n, x̄, E[x²]) are
+    plain aggregates; the Gaussian-Wishart posterior mean collapses to
+    λ = (1+n)/(1 + n·S + (2n/β*)·x̄²) with β* = 2+n and μ = n·x̄/β*;
+    each entity's conditional mean is (α·Σ f·r + λμ)/(λ + α·Σ f²).
+    History row t reports the RMSE of the running-average prediction
+    over sweeps 0..t (burn_in = 0)."""
+    j0 = 2654435761  # _init_factors hash, component j=0
+    ctes = [
+        f"""r AS MATERIALIZED (
+          SELECT "user", item, CAST(rating AS DOUBLE) AS rating
+          FROM ({ratings_sql}))""",
+        f"""uf0 AS MATERIALIZED (
+          SELECT id, CAST((id * {j0}) % 100003 AS DOUBLE) / 1000030.0 AS f
+          FROM (SELECT DISTINCT "user" AS id FROM r))""",
+        f"""vf0 AS MATERIALIZED (
+          SELECT id, CAST((id * {j0}) % 100003 AS DOUBLE) / 1000030.0 AS f
+          FROM (SELECT DISTINCT item AS id FROM r))""",
+    ]
+
+    def hyper(src: str, out: str) -> str:
+        # λ = ν*/Winv, μ = n·x̄/β*  (β0=2, ν0=d=1, W0=I)
+        return f"""{out} AS (
+          SELECT (1.0 + n) /
+                   (1.0 + n * (ex - xb * xb) + (2.0 * n / (2.0 + n)) * xb * xb)
+                 AS lam,
+                 n * xb / (2.0 + n) AS mu
+          FROM (SELECT CAST(count(*) AS DOUBLE) AS n, avg(f) AS xb,
+                       avg(f * f) AS ex FROM {src}))"""
+
+    for t in range(iterations):
+        ctes.append(hyper(f"uf{t}", f"uh{t}"))
+        ctes.append(
+            f"""uf{t + 1} AS MATERIALIZED (
+          SELECT r."user" AS id,
+                 ({alpha} * sum(v.f * r.rating) + max(h.lam * h.mu))
+                   / (max(h.lam) + {alpha} * sum(v.f * v.f)) AS f
+          FROM r JOIN vf{t} v ON v.id = r.item CROSS JOIN uh{t} h
+          GROUP BY r."user")"""
+        )
+        ctes.append(hyper(f"vf{t}", f"vh{t}"))
+        ctes.append(
+            f"""vf{t + 1} AS MATERIALIZED (
+          SELECT r.item AS id,
+                 ({alpha} * sum(u.f * r.rating) + max(h.lam * h.mu))
+                   / (max(h.lam) + {alpha} * sum(u.f * u.f)) AS f
+          FROM r JOIN uf{t + 1} u ON u.id = r."user" CROSS JOIN vh{t} h
+          GROUP BY r.item)"""
+        )
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+          SELECT r."user", r.item, r.rating, u.f * v.f AS p
+          FROM r JOIN uf{t + 1} u ON u.id = r."user"
+                 JOIN vf{t + 1} v ON v.id = r.item)"""
+        )
+    joins = " ".join(
+        f'JOIN p{t} ON p{t}."user" = p0."user" AND p{t}.item = p0.item'
+        for t in range(1, iterations)
+    )
+    pred_cols = ", ".join(f"p{t}.p AS p{t}" for t in range(iterations))
+    ctes.append(
+        f"""preds AS MATERIALIZED (
+          SELECT p0."user", p0.item, p0.rating, {pred_cols}
+          FROM p0 {joins})"""
+    )
+    selects = []
+    for t in range(iterations):
+        avg_expr = "(" + " + ".join(f"p{s}" for s in range(t + 1)) + f") / {t + 1}.0"
+        selects.append(
+            f"SELECT CAST({t} AS INT) AS iter, "
+            f"round(sqrt(avg(pow(rating - ({avg_expr}), 2))), {ndigits}) "
+            f"AS train_rmse FROM preds"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -208,3 +208,73 @@ def rbm(
             {"iter": it, "train_rmse": float(np.sqrt(agg["sse"] / max(agg["n"], 1.0)))}
         )
     return user_f, item_f, history
+
+
+def rbm_iter0_sql(
+    ratings_sql: str,
+    d: int = 6,
+    bins: int = 6,
+    scaling: float = 1.0,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for ``rbm(...)``'s iteration-0 RMSE under singleton
+    user blocks (``num_blocks`` > max user id): with one user per block,
+    no in-place item write is ever visible to another user, so every
+    prediction of the first epoch is a closed form of the init —
+    h_j(u) = σ(Σ_t w0[item_t, bin_t·d+j]), z_b(u,i) = exp(bi0[i,b] +
+    Σ_j w0[i, b·d+j]·h_j), pred = clamp(Σ_b b·z_b/Σ z_b · scaling).
+    bi0 is the log empirical bin share, w0 the deterministic hash init
+    (both mirrored here symbolically). The RNG draws (h0/v1/h1) only
+    feed the CD-1 update, never the epoch's own predictions."""
+
+    def w0(item_expr: str, k_expr: str) -> str:
+        # hash-init weight component k of an item, matching the Spark init
+        return (
+            f"(CAST(({item_expr} * (2654435761 + 13 * ({k_expr}))"
+            f" + 977 * ({k_expr})) % 100003 AS DOUBLE) / 100003.0 * 0.001)"
+        )
+
+    h_cols = ", ".join(
+        "1.0 / (1.0 + exp(-sum(" + w0("item", f"bin * {d} + {j}") + f"))) AS h{j}"
+        for j in range(d)
+    )
+    bi_cols = ", ".join(
+        f"ln(1e-9 + sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END)"
+        f" / CAST(count(*) AS DOUBLE)) AS bi{b}"
+        for b in range(bins)
+    )
+    z_exprs = [
+        f"exp(bi.bi{b} + "
+        + " + ".join(w0("r.item", str(b * d + j)) + f" * h.h{j}" for j in range(d))
+        + f") AS z{b}"
+        for b in range(bins)
+    ]
+    z_num = " + ".join(f"{b} * z{b}" for b in range(bins))
+    z_den = " + ".join(f"z{b}" for b in range(bins))
+    return f"""
+        WITH r AS MATERIALIZED (
+          SELECT "user", item, CAST(rating AS DOUBLE) AS rating,
+                 least(CAST(floor(rating / {scaling}) AS INT), {bins - 1}) AS bin
+          FROM ({ratings_sql})
+        ),
+        mm AS (SELECT min(rating) AS lo, max(rating) AS hi FROM r),
+        h AS MATERIALIZED (
+          SELECT "user", {h_cols} FROM r GROUP BY "user"
+        ),
+        bi AS MATERIALIZED (
+          SELECT item, {bi_cols} FROM r GROUP BY item
+        ),
+        z AS (
+          SELECT r.rating, {", ".join(z_exprs)}
+          FROM r JOIN h ON h."user" = r."user" JOIN bi ON bi.item = r.item
+        ),
+        pred AS (
+          SELECT rating,
+                 greatest(mm.lo, least(mm.hi,
+                   ({z_num}) / ({z_den}) * {scaling})) AS p
+          FROM z, mm
+        )
+        SELECT CAST(0 AS INT) AS iter,
+               round(sqrt(avg(pow(rating - p, 2))), {ndigits}) AS train_rmse
+        FROM pred
+    """
