@@ -794,25 +794,40 @@ def _register_ml_extras():
         _, _, _, hist = als_tensor(r, d=2, iterations=2)
         return _hist_df(spark, hist)
 
-    @query("timesvdpp_rmse_history")  # time-bias SVD++ epochs — rows-only
+    # sequential-SGD variants: trajectories on real data cannot be
+    # replayed set-level, so the registered contract is the 6-rating
+    # fixture (ids from the real table) with num_blocks=1 and EVERY SGD
+    # step unrolled into a CTE the oracle recomputes — update order,
+    # old/new read semantics and all. Full-data multi-epoch runs stay
+    # covered in pytest (test_svd_nmf_sgd).
+    from graphchi_cpp_spark.cf.sgd_oracle import (
+        biassgd2_logistic_fixture_sql,
+        sgd_fixture,
+        timesvdpp_fixture_sql,
+    )
+
+    @query("timesvdpp_rmse_history", timesvdpp_fixture_sql(RATINGS_SQL))
     def q_timesvdpp(spark, sf_dir):
         from graphchi_cpp_spark.cf.sgd import sgd
 
-        r = _ratings(spark, sf_dir).withColumn(
-            "ts", F.pmod(F.col("user") + F.col("item"), F.lit(6))
-        )
+        r = sgd_fixture(spark, _ratings(spark, sf_dir), with_ts=True)
         _, _, hist = sgd(
-            r, d=4, iterations=2, gamma=0.02, variant="timesvdpp", time_col="ts"
+            r, d=1, iterations=2, gamma=0.02, variant="timesvdpp",
+            time_col="ts", num_blocks=1,
         )
         return _hist_df(spark, hist)
 
-    @query("biassgd2_logistic_rmse_history")  # rows-only
+    @query(
+        "biassgd2_logistic_rmse_history",
+        biassgd2_logistic_fixture_sql(RATINGS_SQL),
+    )
     def q_biassgd2_logistic(spark, sf_dir):
         from graphchi_cpp_spark.cf.sgd import sgd
 
+        r = sgd_fixture(spark, _ratings(spark, sf_dir))
         _, _, hist = sgd(
-            _ratings(spark, sf_dir), d=4, iterations=2, gamma=0.05,
-            variant="biassgd", loss="logistic",
+            r, d=2, iterations=2, gamma=0.05,
+            variant="biassgd", loss="logistic", num_blocks=1,
         )
         return _hist_df(spark, hist)
 
@@ -861,14 +876,22 @@ def _register_ml_extras():
         _, _, hist = rbm(r, d=6, iterations=1, num_blocks=int(max_user) + 1)
         return _hist_df(spark, hist)
 
-    @query("libfm_rmse_history")  # FM SGD epochs — rows-only
+    from graphchi_cpp_spark.cf.sgd_oracle import (
+        gensgd_fixture_sql,
+        libfm_fixture_sql,
+    )
+
+    @query("libfm_rmse_history", libfm_fixture_sql(RATINGS_SQL))
     def q_fm(spark, sf_dir):
         from graphchi_cpp_spark.cf.fm import fm
 
-        r = _ratings(spark, sf_dir).withColumn(
-            "tbin", F.pmod(F.col("user") + F.col("item"), F.lit(6))
+        r = sgd_fixture(
+            spark, _ratings(spark, sf_dir), with_ts=True
+        ).withColumnRenamed("ts", "tbin")
+        _, hist = fm(
+            r, feature_cols=["user", "item", "tbin"], d=2, iterations=3,
+            num_blocks=1,
         )
-        _, hist = fm(r, feature_cols=["user", "item", "tbin"], d=4, iterations=3)
         return _hist_df(spark, hist)
 
     # gensgd input-parsing breadth (gensgd.cpp:28,:84-105,:383-460):
@@ -939,47 +962,74 @@ def _register_ml_extras():
             F.col("_feat_4").alias("f_price"),
         )
 
-    @query("gensgd_rmse_history")  # FM SGD over featurized columns — rows-only
+    # the full gensgd pipeline on the fixture: featurize (dictionary
+    # encode users/items + a per-user side feature) then the FM kernel;
+    # every code assignment and SGD step is static in the oracle. The
+    # full-data featurize path keeps its own hash-checked query
+    # (featurized_ratings); full-data FM descent stays in pytest.
+    @query("gensgd_rmse_history", gensgd_fixture_sql(RATINGS_SQL))
     def q_gensgd(spark, sf_dir):
         from graphchi_cpp_spark.cf.fm import featurize, fm
-        from graphchi_cpp_spark.datasets import load_table
 
-        customer = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
+        r = sgd_fixture(spark, _ratings(spark, sf_dir))
+        us = [x[0] for x in r.select("user").distinct().orderBy("user").collect()]
+        side = spark.createDataFrame(
+            [(int(u), a) for a, u in enumerate(us)], "user long, seg long"
         )
         out, _ = featurize(
-            _ratings(spark, sf_dir),
+            r,
             categorical=["user", "item"],
-            side_tables=[(customer, "user", "c_custkey")],
+            side_tables=[(side, "user", "user")],
         )
         _, hist = fm(
             out, feature_cols=["_feat_0", "_feat_1", "_feat_2"],
-            d=4, iterations=2,
+            d=2, iterations=2, num_blocks=1,
         )
         return _hist_df(spark, hist)
 
-    @query("biassgd2_abs_rmse_history")  # rows-only
+    from graphchi_cpp_spark.cf.sgd_oracle import sgd_variant_fixture_sql
+
+    @query(
+        "biassgd2_abs_rmse_history",
+        sgd_variant_fixture_sql(
+            RATINGS_SQL, "biassgd", "abs", d=2, iterations=2, gamma=0.02,
+            step_dec=0.5,
+        ),
+    )
     def q_biassgd2_abs(spark, sf_dir):
         from graphchi_cpp_spark.cf.sgd import sgd
 
+        r = sgd_fixture(spark, _ratings(spark, sf_dir))
         _, _, hist = sgd(
-            _ratings(spark, sf_dir), d=4, iterations=2, gamma=0.02,
-            variant="biassgd", loss="abs", step_dec=0.5,
+            r, d=2, iterations=2, gamma=0.02,
+            variant="biassgd", loss="abs", step_dec=0.5, num_blocks=1,
         )
         return _hist_df(spark, hist)
 
-    @query("sgd_rmse_history")  # block-epoch SGD — rows-only
+    @query(
+        "sgd_rmse_history",
+        sgd_variant_fixture_sql(
+            RATINGS_SQL, "sgd", "square", d=2, iterations=3, gamma=0.02
+        ),
+    )
     def q_sgd(spark, sf_dir):
-        _, _, hist = sgd(_ratings(spark, sf_dir), d=4, iterations=3, gamma=0.02)
+        r = sgd_fixture(spark, _ratings(spark, sf_dir))
+        _, _, hist = sgd(r, d=2, iterations=3, gamma=0.02, num_blocks=1)
         return spark.createDataFrame(
             [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
             "iter int, train_rmse double",
         )
 
-    @query("biassgd_rmse_history")  # rows-only
+    @query(
+        "biassgd_rmse_history",
+        sgd_variant_fixture_sql(
+            RATINGS_SQL, "biassgd", "square", d=2, iterations=3, gamma=0.02
+        ),
+    )
     def q_biassgd(spark, sf_dir):
+        r = sgd_fixture(spark, _ratings(spark, sf_dir))
         _, _, hist = sgd(
-            _ratings(spark, sf_dir), d=4, iterations=3, gamma=0.02, variant="biassgd"
+            r, d=2, iterations=3, gamma=0.02, variant="biassgd", num_blocks=1
         )
         return spark.createDataFrame(
             [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
@@ -1084,13 +1134,21 @@ def _register_windows():
             "iter int, train_rmse double",
         )
 
-    @query("svdpp_rmse_history")  # SVD++ block epochs — rows-only
+    from graphchi_cpp_spark.cf.sgd_oracle import (
+        sgd_fixture as _sgd_fix,
+        sgd_variant_fixture_sql as _sgd_fix_sql,
+    )
+
+    @query(
+        "svdpp_rmse_history",
+        _sgd_fix_sql(_RSQL, "svdpp", "square", d=2, iterations=2, gamma=0.02),
+    )
     def q_svdpp(spark, sf_dir):
         from graphchi_cpp_spark.cf.sgd import sgd
-        from graphchi_cpp_spark.datasets import ratings
 
+        r = _sgd_fix(spark, _ratings(spark, sf_dir))
         _, _, hist = sgd(
-            _ratings(spark, sf_dir), d=4, iterations=2, gamma=0.02, variant="svdpp"
+            r, d=2, iterations=2, gamma=0.02, variant="svdpp", num_blocks=1
         )
         return spark.createDataFrame(
             [(h["iter"], round(h["train_rmse"], 4)) for h in hist],
