@@ -967,6 +967,25 @@ def _register_ml_extras():
     # every code assignment and SGD step is static in the oracle. The
     # full-data featurize path keeps its own hash-checked query
     # (featurized_ratings); full-data FM descent stays in pytest.
+    # sparse_gensgd (last M8 sub-variant): FM over variable-length
+    # sparse feature lists + per-position rates + sweep-end top-s factor
+    # pruning — fully unrolled oracle including the prune steps
+    from graphchi_cpp_spark.cf.sgd_oracle import (
+        sparse_fm_fixture,
+        sparse_gensgd_fixture_sql,
+    )
+
+    @query("sparse_gensgd_rmse_history", sparse_gensgd_fixture_sql(RATINGS_SQL))
+    def q_sparse_gensgd(spark, sf_dir):
+        from graphchi_cpp_spark.cf.fm import sparse_fm
+
+        r = sparse_fm_fixture(spark, _ratings(spark, sf_dir))
+        _, hist = sparse_fm(
+            r, d=2, iterations=2, rates=(0.01, 0.01, 0.01), sparsity=1,
+            num_blocks=1,
+        )
+        return _hist_df(spark, hist)
+
     @query("gensgd_rmse_history", gensgd_fixture_sql(RATINGS_SQL))
     def q_gensgd(spark, sf_dir):
         from graphchi_cpp_spark.cf.fm import featurize, fm

@@ -302,3 +302,202 @@ def fm(
             }
         )
     return feat_f, history
+
+
+def _hard_threshold(factors_col, d: int, s: int):
+    """Keep the top-``s`` components of a length-(d+1) FM factor array
+    [v_0..v_{d-1}, w] by |value| (w untouched), zeroing the rest — JVM
+    expressions only. Stable tie-break (equal magnitudes keep the lower
+    index), matching ``np.argsort(-abs)``."""
+    idx = F.sequence(F.lit(0), F.lit(d - 1))
+    v = F.slice(factors_col, 1, d)
+
+    def rank_lt_s(x, j):
+        # components strictly larger, or equal with a lower index
+        beats = F.zip_with(
+            v,
+            idx,
+            lambda y, k: F.when(
+                (F.abs(y) > F.abs(x))
+                | ((F.abs(y) == F.abs(x)) & (k < j)),
+                1,
+            ).otherwise(0),
+        )
+        return (
+            F.aggregate(beats, F.lit(0), lambda acc, z: acc + z) < F.lit(s)
+        )
+
+    pruned = F.zip_with(
+        v, idx, lambda x, j: F.when(rank_lt_s(x, j), x).otherwise(F.lit(0.0))
+    )
+    return F.concat(pruned, F.slice(factors_col, d + 1, 1))
+
+
+def sparse_fm(
+    ratings: DataFrame,
+    d: int = 5,
+    iterations: int = 5,
+    rates: tuple = (0.01, 0.01, 0.01),
+    lam: float = 0.01,
+    sparsity: int | None = None,
+    num_blocks: int | None = None,
+    target_block_rows: int = 50_000,
+    step_dec: float = 0.9,
+) -> tuple[DataFrame, list[dict]]:
+    """sparse_gensgd (M8, ``sparse_gensgd.cpp:834``): the FM kernel over
+    VARIABLE-LENGTH sparse feature-id lists — each row carries a
+    ``features array<long>`` column (the reference's libsvm-style rows
+    whose edges store per-rating feature/index arrays) instead of fixed
+    feature columns. Two reference behaviors distinguish it from
+    ``fm``:
+
+    - per-POSITION learning rates (``gensgd_rate1/2/3``,
+      ``sparse_gensgd.cpp:868-874``): position 0 (user) uses rates[0],
+      position 1 (item) rates[1], every later feature rates[-1]; the
+      global intercept moves at rates[0] (``:856``).
+    - optional ``sparsity``: after each sweep, every factor vector is
+      hard-thresholded to its top-``sparsity`` components by magnitude
+      (the CoSaMP-style support pruning of ``als_variants._cosamp``
+      applied sweep-wise, per the sparse-factor reading of the variant).
+
+    Blocks partition on ``features[0]`` (the user-like leading id);
+    cross-block features are update-count-averaged as in ``fm``.
+    Returns (feature_factors, history with prequential train_rmse)."""
+    if num_blocks is None:
+        num_blocks = auto_num_blocks(ratings, target_block_rows)
+
+    r = (
+        ratings.select(
+            F.col("rating").cast("double"),
+            F.col("features").cast("array<long>"),
+            F.pmod(F.col("features")[0], F.lit(num_blocks)).alias("block"),
+        )
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .cache()
+    )
+    mu = float(r.agg(F.avg("rating")).collect()[0][0])
+
+    feat_ids = r.select(F.explode("features").alias("feature")).distinct()
+    feat_f = (
+        _init_factors(feat_ids, "feature", d)
+        .select(
+            "feature",
+            F.concat(
+                F.transform("factors", lambda x: x * 0.1), F.array(F.lit(0.0))
+            ).alias("factors"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w0 = mu
+    history: list[dict] = []
+    for it in range(iterations):
+        dec = step_dec ** it
+        rates_it = [float(g) * dec for g in rates]
+
+        def run_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            nonlocal_w0 = w0
+            states: dict[int, np.ndarray] = {}
+            upd: dict[int, int] = {}
+            feats_l = pdf["features"].tolist()
+            fvecs_l = pdf["fvecs"].tolist()
+            rts = pdf["rating"].to_numpy()
+            order = sorted(range(len(rts)), key=lambda i: tuple(feats_l[i]))
+            sse = 0.0
+            for i in order:
+                fids = feats_l[i]
+                xs = []
+                for k, fid in enumerate(fids):
+                    v = states.get(fid)
+                    if v is None:
+                        v = states[fid] = np.array(fvecs_l[i][k], dtype=float)
+                    xs.append(v)
+                s = np.zeros(d)
+                lin = 0.0
+                sq = 0.0
+                for v in xs:
+                    s += v[:d]
+                    lin += v[d]
+                    sq += float(v[:d] @ v[:d])
+                pred = nonlocal_w0 + lin + 0.5 * (float(s @ s) - sq)
+                e = rts[i] - pred
+                sse += e * e
+                nonlocal_w0 += rates_it[0] * (e - lam * nonlocal_w0)
+                for k, v in enumerate(xs):
+                    g = rates_it[min(k, len(rates_it) - 1)]
+                    grad_v = e * (s - v[:d]) - lam * v[:d]
+                    v[:d] = v[:d] + g * grad_v
+                    v[d] += g * (e - lam * v[d])
+                    upd[fids[k]] = upd.get(fids[k], 0) + 1
+            out = [
+                ("item", k, [float(x) for x in v], upd.get(k, 1))
+                for k, v in states.items()
+            ]
+            out.append(("w0", -1, [float(nonlocal_w0), float(len(rts))], 1))
+            out.append(("rmse", -2, [sse, float(len(rts))], 1))
+            return pd.DataFrame(out, columns=["kind", "id", "factors", "n_upd"])
+
+        # explode→join→regroup: per-row aligned factor-vector lists
+        ex = (
+            r.select("_rid", "block", "rating", F.posexplode("features"))
+            .withColumnRenamed("col", "feature")
+            .join(feat_f, "feature")
+        )
+        joined = (
+            ex.groupBy("_rid", "block", "rating")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "feature", "factors"))
+                ).alias("_pf")
+            )
+            .select(
+                "block",
+                "rating",
+                F.transform("_pf", lambda x: x["feature"]).alias("features"),
+                F.transform("_pf", lambda x: x["factors"]).alias("fvecs"),
+            )
+        )
+        updated = (
+            joined.groupBy("block")
+            .applyInPandas(run_block, _OUT_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        feat_f = (
+            updated.filter(F.col("kind") == "item")
+            .select(F.col("id").alias("feature"), "factors", "n_upd")
+            .select(
+                "feature", "n_upd", F.posexplode("factors").alias("pos", "x")
+            )
+            .groupBy("feature", "pos")
+            .agg((F.sum(F.col("x") * F.col("n_upd")) / F.sum("n_upd")).alias("x"))
+            .groupBy("feature")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda q: q["x"],
+                ).alias("factors")
+            )
+        )
+        if sparsity is not None and sparsity < d:
+            feat_f = feat_f.select(
+                "feature",
+                _hard_threshold(F.col("factors"), d, sparsity).alias("factors"),
+            )
+        feat_f = feat_f.localCheckpoint(eager=True)
+        aggs = updated.filter(F.col("kind").isin("w0", "rmse")).collect()
+        w0_rows = [a for a in aggs if a["kind"] == "w0"]
+        rmse_rows = [a for a in aggs if a["kind"] == "rmse"]
+        w0 = float(
+            sum(a["factors"][0] * a["factors"][1] for a in w0_rows)
+            / max(sum(a["factors"][1] for a in w0_rows), 1.0)
+        )
+        sse = sum(a["factors"][0] for a in rmse_rows)
+        cnt = sum(a["factors"][1] for a in rmse_rows)
+        history.append(
+            {
+                "iter": it,
+                "train_rmse": float(np.sqrt(sse / max(cnt, 1.0))),
+                "w0": w0,
+            }
+        )
+    return feat_f, history

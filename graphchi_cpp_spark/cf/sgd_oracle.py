@@ -249,20 +249,25 @@ def biassgd2_logistic_fixture_sql(
 
 def _fm_unrolled_sql(
     ratings_sql: str,
-    row_feats,  # {(a, b): (tag, tag, tag)}
+    row_feats,  # {(a, b): tuple of tags, any length}
     id_exprs: dict[str, str],  # tag -> SQL expr for its global feature id
     d: int,
     iterations: int,
-    gamma: float,
+    gamma,  # scalar, or a per-position rate list (sparse_gensgd)
     lam: float,
     step_dec: float,
     ndigits: int,
+    sparsity: int | None = None,
 ) -> str:
     """Shared FM unroller (``cf/fm.py`` kernel, num_blocks=1): per row
     s = Σ_f v_f, pred = w0 + Σ w_f + ½(‖s‖² − Σ‖v_f‖²), PREQUENTIAL
     sse += e² before the row's update, w0 updated first, then each
     feature from pre-row values. The reported RMSE is the epoch's
-    accumulated sse — threaded through the steps as an `sse` column."""
+    accumulated sse — threaded through the steps as an `sse` column.
+    ``gamma`` may be a per-position rate list and ``sparsity`` a
+    top-s hard-threshold applied to every factor vector after each
+    sweep (the sparse_fm behaviors)."""
+    rates = list(gamma) if isinstance(gamma, (list, tuple)) else [gamma]
     tags = list(id_exprs)
     state = [f"{t}v{j}" for t in tags for j in range(d)]
     state += [f"{t}w" for t in tags] + ["w0", "sse"]
@@ -297,7 +302,7 @@ def _fm_unrolled_sql(
     step = 0
     rmse_rows = []
     for e in range(iterations):
-        g = gamma * (step_dec ** e)
+        dec = step_dec ** e
         emit(cur, f"z{e}", {"sse": "0.0"})
         cur = f"z{e}"
         for a in range(2):
@@ -319,11 +324,13 @@ def _fm_unrolled_sql(
                 ctes.append(
                     f"{pb} AS (SELECT *, r{a}{b} - pr AS ge FROM {pa})"
                 )
+                g0 = rates[0] * dec
                 upd = {
-                    "w0": f"w0 + {g} * (ge - {lam} * w0)",
+                    "w0": f"w0 + {g0} * (ge - {lam} * w0)",
                     "sse": "sse + ge * ge",
                 }
-                for t in feats:
+                for k, t in enumerate(feats):
+                    g = rates[min(k, len(rates) - 1)] * dec
                     for j in range(d):
                         upd[f"{t}v{j}"] = (
                             f"{t}v{j} + {g} * (ge * ({s_j[j]} - {t}v{j})"
@@ -336,6 +343,24 @@ def _fm_unrolled_sql(
             f"SELECT CAST({e} AS INT) AS iter, "
             f"round(sqrt(sse / 6.0), {ndigits}) AS train_rmse FROM {cur}"
         )
+        if sparsity is not None and sparsity < d:
+            # sweep-end hard threshold: zero every component whose rank
+            # by |value| (stable: ties keep the lower index) is >= s
+            upd = {}
+            for t in tags:
+                for j in range(d):
+                    beats = " + ".join(
+                        f"(CASE WHEN abs({t}v{k}) > abs({t}v{j})"
+                        f" OR (abs({t}v{k}) = abs({t}v{j}) AND {k} < {j})"
+                        f" THEN 1 ELSE 0 END)"
+                        for k in range(d)
+                    )
+                    upd[f"{t}v{j}"] = (
+                        f"CASE WHEN ({beats}) < {sparsity}"
+                        f" THEN {t}v{j} ELSE 0.0 END"
+                    )
+            emit(cur, f"pr{e}", upd)
+            cur = f"pr{e}"
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rmse_rows)
 
 
@@ -367,6 +392,60 @@ def libfm_fixture_sql(
     return _fm_unrolled_sql(
         ratings_sql, row_feats, id_exprs, d, iterations, gamma, lam,
         step_dec, ndigits,
+    )
+
+
+def sparse_fm_fixture(spark: SparkSession, ratings: DataFrame) -> DataFrame:
+    """sparse-input fixture: the 6 base rows with VARIABLE-LENGTH global
+    feature-id lists — [user, item'] for every row, plus an extra
+    feature (two distinct ids) on 4 of the 6 rows. item' = u1+1+item,
+    extra c = u1+1+i2+1+c (disjoint id ranges, like fm's offsets)."""
+    us = [int(r[0]) for r in ratings.select("user").distinct().orderBy("user").limit(2).collect()]
+    its = [int(r[0]) for r in ratings.select("item").distinct().orderBy("item").limit(3).collect()]
+    off_i = us[1] + 1
+    off_x = us[1] + 1 + its[2] + 1
+    rows = []
+    for a, u in enumerate(us):
+        for b, i in enumerate(its):
+            t = a * 3 + b
+            feats = [u, off_i + i]
+            if t % 3 != 2:
+                feats.append(off_x + (t % 2))
+            rows.append((1.0 + float((u * 3 + i * 7) % 4), feats))
+    return spark.createDataFrame(rows, "rating double, features array<long>")
+
+
+def sparse_gensgd_fixture_sql(
+    ratings_sql: str,
+    d: int = 2,
+    iterations: int = 2,
+    rates: tuple = (0.01, 0.01, 0.01),
+    lam: float = 0.01,
+    sparsity: int = 1,
+    step_dec: float = 0.9,
+    ndigits: int = 4,
+) -> str:
+    """Oracle for ``sparse_fm(sparse_fm_fixture(...), d, iterations,
+    rates, lam, sparsity, num_blocks=1)`` — variable-length rows,
+    per-position rates, sweep-end top-s hard threshold, all unrolled."""
+    id_exprs = {}
+    for a in range(2):
+        id_exprs[f"u{a}"] = f"u{a}"
+    for b in range(3):
+        id_exprs[f"i{b}"] = f"(u1 + 1 + i{b})"
+    for c in range(2):
+        id_exprs[f"x{c}"] = f"(u1 + 1 + i2 + 1 + {c})"
+    row_feats = {}
+    for a in range(2):
+        for b in range(3):
+            t = a * 3 + b
+            feats = [f"u{a}", f"i{b}"]
+            if t % 3 != 2:
+                feats.append(f"x{t % 2}")
+            row_feats[(a, b)] = tuple(feats)
+    return _fm_unrolled_sql(
+        ratings_sql, row_feats, id_exprs, d, iterations, list(rates), lam,
+        step_dec, ndigits, sparsity=sparsity,
     )
 
 

@@ -215,6 +215,45 @@ def test_fm_converges_with_extra_field(spark, sf_dir):
     assert rmses[-1] < rmses[0]
 
 
+def test_sparse_fm_converges_and_prunes(spark, sf_dir):
+    """sparse_gensgd on full data: variable-length feature lists
+    (every row [user, item'], even-sum rows get an extra bin feature),
+    multi-block path, RMSE descending, and the sweep-end hard threshold
+    leaves at most `sparsity` nonzero latents per factor vector."""
+    from graphchi_cpp_spark.cf.fm import sparse_fm
+
+    r = ratings(spark, sf_dir)
+    max_u = r.agg(F.max("user")).collect()[0][0]
+    off_i = int(max_u) + 1
+    src = r.select(
+        "rating",
+        F.when(
+            F.pmod(F.col("user") + F.col("item"), F.lit(2)) == 0,
+            F.array(
+                F.col("user"),
+                F.col("item") + F.lit(off_i),
+                F.pmod(F.col("item"), F.lit(4)) + F.lit(off_i + 1_000_000),
+            ),
+        )
+        .otherwise(F.array(F.col("user"), F.col("item") + F.lit(off_i)))
+        .alias("features"),
+    )
+    feat_f, hist = sparse_fm(src, d=3, iterations=3, sparsity=2)
+    rmses = [h["train_rmse"] for h in hist]
+    assert rmses[-1] < rmses[0]
+    nz = feat_f.select(
+        F.aggregate(
+            F.transform(
+                F.slice("factors", 1, 3),
+                lambda x: F.when(x != 0.0, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("nnz")
+    )
+    assert nz.agg(F.max("nnz")).collect()[0][0] <= 2
+
+
 def test_featurize_gensgd_parsing(spark):
     """gensgd parsing DSL: dictionary encoding over strings/ids,
     bucketized continuous columns, side-feature table join — feature ids
