@@ -113,6 +113,16 @@ def _register_core():
     def q_wcc(spark, sf_dir):
         return _wcc(spark, sf_dir)
 
+    # large-star/small-star contraction (O(log² V) rounds — the
+    # high-diameter / union-find-contract path) vs the same oracle
+    @query("wcc_star", wcc_sql(COSUPPLY_EDGES_SQL))
+    def q_wcc_star(spark, sf_dir):
+        from graphchi_cpp_spark.algos.connected_components import (
+            connected_components_star,
+        )
+
+        return connected_components_star(_cosupply_graph(spark, sf_dir))
+
     @query(
         "wcc_sizes",
         f"""

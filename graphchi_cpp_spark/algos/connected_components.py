@@ -19,8 +19,8 @@ expressed as a semi-join.
 
 Scale notes: min is commutative → map-side partial agg bounds shuffle to
 O(active vertices); symmetrized edge table cached once. For graphs with
-giant diameter, switch to the large-star/small-star contraction algorithm
-(future work) — label propagation is O(diameter) supersteps.
+giant diameter, use ``connected_components_star`` below — label
+propagation is O(diameter) supersteps, the star contractions O(log² V).
 
 Measured dead end (r4): per-round pointer jumping (label ← label(label)
 via a V-row self-join on the label column) was 5× SLOWER at 10M edges
@@ -97,6 +97,100 @@ def connected_components(
 
     edges.unpersist()
     return v.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    graph: PropertyGraph,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star WCC (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) — the skew-aware O(log² V)-round
+    alternative to min-label propagation for HIGH-DIAMETER graphs, and
+    the true logarithmic path for the union-find contract
+    (``example_apps/unionfind_connectedcomps.cpp:121``): label
+    propagation needs O(diameter) supersteps, these star contractions
+    double the reach of every hop.
+
+    Per round, on the current edge set E (invariant: src > dst after
+    the first half-round):
+      large-star: m(u) = min({u} ∪ N(u)); every neighbor v > u
+                  re-links to m(u) — emit (v, m(u))
+      small-star: m(u) = min of u's (all-smaller) neighbors; u and
+                  each neighbor link to m — emit (u, m) ∪ (v, m)
+    Fixpoint = rooted stars: every node's single out-edge points at its
+    component minimum. Same output contract as ``connected_components``.
+
+    Scale: both halves are ONE partial-aggregated groupBy(min) + one
+    equi-join each; the giant-component hot key sits on the singleton
+    build side of the join, which AQE's skew split handles (unlike the
+    measured pointer-jumping dead end above, where the hot key carried
+    the full V-row probe AND build fan-in)."""
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    # lineage is cut EVERY round: E is referenced twice per round (self
+    # + swap), so anything short of a checkpoint doubles the logical
+    # plan per iteration (cache() bounds recomputation, not plan size)
+    E = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(p, "src")
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for it in range(max_iter):
+        sym = E.unionByName(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star: m = min over {u} ∪ N(u)
+        mins = sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star on (src > dst)-oriented edges: m = min neighbor
+        mins2 = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        nE = (
+            ls.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                mins2.select("src", F.col("m").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition(p, "src")
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint signature: count + modular hash sum (pmod keeps the
+        # ANSI-mode sum far from long overflow at any edge count)
+        sig = tuple(
+            nE.agg(
+                F.count("*"),
+                F.sum(F.pmod(F.col("src"), F.lit(1_000_000_007))),
+                F.sum(F.pmod(F.col("dst"), F.lit(1_000_000_007))),
+                F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))),
+            ).collect()[0]
+        )
+        E = nE
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    comp = (
+        graph.vertices.select("id")
+        .join(
+            E.groupBy(F.col("src").alias("id")).agg(
+                F.min("dst").alias("_c")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("_c", F.col("id")).alias("component"))
+    )
+    return comp
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -62,3 +62,44 @@ def test_component_sizes(spark):
     g = PropertyGraph.from_edges(edges)
     sizes = component_sizes(connected_components(g)).collect()
     assert [(r["component"], r["size"]) for r in sizes] == [(0, 3), (5, 2)]
+
+
+def test_wcc_star_matches_and_beats_lpa_on_high_diameter(spark):
+    """The star contraction converges in O(log V) rounds on a
+    diameter-10^4 path — label propagation, capped at the same round
+    budget, cannot (it needs one superstep per hop). Also checks exact
+    agreement with min-label WCC on a multi-component graph."""
+    import time
+
+    from graphchi_cpp_spark.algos.connected_components import (
+        connected_components_star,
+    )
+    from graphchi_cpp_spark.graph import chain_graph
+
+    # correctness on a small multi-component graph
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20), (7, 3)],
+        ["src", "dst"],
+    )
+    g = PropertyGraph.from_edges(edges)
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(g).collect()
+    }
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(g).collect()
+    }
+    assert got == want
+
+    # diameter 10^4: star converges within 20 rounds, LPA at the same
+    # budget is still propagating (path needs ~10^4 supersteps)
+    path = PropertyGraph.from_edges(chain_graph(spark, 10_001))
+    t0 = time.time()
+    comp = connected_components_star(path, max_iter=20)
+    n_comp = comp.select("component").distinct().count()
+    star_secs = time.time() - t0
+    assert n_comp == 1
+    lpa = connected_components(path, max_iter=20)
+    assert lpa.select("component").distinct().count() > 1
+    assert star_secs < 300
