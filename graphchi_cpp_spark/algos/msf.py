@@ -33,7 +33,7 @@ def minimum_spanning_forest(
     graph: PropertyGraph,
     weight_col: str = "weight",
     max_rounds: int = 30,
-    contraction_collect_threshold: int = 2_000_000,
+    contraction_collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Returns forest edges (src, dst, weight) — an MSF of the undirected
     graph (edges interpreted bidirectionally, weight from ``weight_col``)."""

@@ -225,3 +225,46 @@ def test_multimodal_unknown_kind_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         extract_features(bad).collect()
+
+
+def test_real_ppm_and_wav_codecs_end_to_end(spark):
+    """The de-stubbed codecs: a PPM image and a PCM WAV payload decode
+    for real inside the mapInPandas pipeline, and the features match a
+    local numpy decode of the same bytes. A non-PPM image payload on
+    the same run takes the documented byte-level fallback."""
+    import numpy as np
+
+    from graphchi_cpp_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _features_from_signal,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    img = np.arange(4 * 3 * 3, dtype=np.float32).reshape(4, 3, 3) / 36.0
+    ppm = encode_ppm(img)
+    wav = encode_wav(np.sin(np.linspace(0, 20, 500, dtype=np.float32)))
+    rows = [
+        (0, "image", ppm, 3, 4, 0),
+        (1, "audio", wav, 0, 0, 31),
+        (2, "image", b"\x01\x02\x03\x04", 2, 2, 0),  # fallback path
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: np.array(r["feature"])
+        for r in extract_features(media, dim=8).collect()
+    }
+    # round-trip: decoded pixels match the encoded image (8-bit quantized)
+    assert np.allclose(decode_ppm(ppm), (img * 255).round() / 255.0, atol=1e-6)
+    want_img = _features_from_signal(decode_ppm(ppm).reshape(-1), 8)
+    want_wav = _features_from_signal(decode_wav(wav), 8)
+    assert np.allclose(got[0], want_img, atol=1e-6)
+    assert np.allclose(got[1], want_wav, atol=1e-6)
+    assert len(got[2]) == 8  # fallback still yields a feature vector
+    # P3 (ASCII) variant decodes to the same pixels as P6
+    p3 = ("P3\n3 4\n255\n" + " ".join(
+        str(int(v)) for v in (img * 255).round().astype(int).reshape(-1)
+    )).encode()
+    assert np.allclose(decode_ppm(p3), decode_ppm(ppm), atol=1e-6)

@@ -80,6 +80,26 @@ def test_msf_matches_kruskal(spark, sf_dir):
     assert got_total == pytest.approx(want_total)
 
 
+def test_msf_distributed_contraction_fallback(spark, sf_dir):
+    """contraction_collect_threshold=0 forces every round down the
+    distributed pointer-jumping contraction path; the forest must be
+    identical to the driver-union-find fast path."""
+    e = orderflow_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(97)) + 1)
+        .cast("double")
+        .alias("weight"),
+    )
+    g = PropertyGraph(e)
+    fast = minimum_spanning_forest(g)
+    slow = minimum_spanning_forest(g, contraction_collect_threshold=0)
+    assert fast.agg(F.sum("weight")).collect()[0][0] == pytest.approx(
+        slow.agg(F.sum("weight")).collect()[0][0]
+    )
+    assert fast.count() == slow.count()
+
+
 def test_random_walks(spark):
     # deterministic walk on a cycle: every step moves (single out-edge)
     edges = [(0, 1), (1, 2), (2, 0)]
