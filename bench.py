@@ -24,6 +24,7 @@ from graphchi_cpp_spark.session import get_spark
 BENCH_QUERIES = [
     "pagerank",
     "wcc",
+    "wcc_star",
     "wcc_sizes",
     "degree_distribution",
     "topk_per_user",

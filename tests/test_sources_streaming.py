@@ -210,3 +210,69 @@ def test_streaming_pagerank_matches_batch_on_final_graph(spark):
     b = {r["id"]: r["rank"] for r in batch_ranks.collect()}
     for k in b:
         assert s[k] == pytest.approx(b[k], abs=1e-4)  # converged to same fixpoint
+
+
+def test_parse_cdr(spark, tmpdir):
+    from graphchi_cpp_spark.sources.parsers import parse_cdr
+
+    p = _write(
+        tmpdir,
+        "cdr.txt",
+        "2011-12-05 00:00:00\t15\t22\t1\t39\n"
+        "2011-12-05 00:00:00\t15\t134\t1\t482\n"
+        "garbage line without tabs\n"
+        "2011-12-06 10:30:00\t22\t15\t2\t100\n",
+    )
+    out = parse_cdr(spark.read.text(p)).orderBy("src", "dst").collect()
+    assert len(out) == 3
+    assert (out[0]["src"], out[0]["dst"], out[0]["calls"]) == (15, 22, 1)
+    assert str(out[2]["day"]) == "2011-12-06"
+    assert out[2]["duration_s"] == 100
+
+
+def test_parse_twitter(spark, tmpdir):
+    from graphchi_cpp_spark.sources.parsers import parse_twitter
+
+    p = _write(
+        tmpdir,
+        "tweets.txt",
+        "T\t2009-06-01 00:00:00\n"
+        "U\thttp://twitter.com/XLamp\n"
+        "W\t@Alice hello RT @bob nice one http://t.co/x\n"
+        "T\t2009-06-01 00:01:00\n"
+        "U\thttp://twitter.com/alice\n"
+        "W\tno mentions here\n"
+        "W\t@toolongusername12345 ignored, @ok_name kept\n",
+    )
+    edges, mapping = parse_twitter(spark.read.text(p))
+    m = {r["orig"]: r["dense_id"] for r in mapping.collect()}
+    got = {
+        (r["src"], r["dst"], r["ts"]) for r in edges.collect()
+    }
+    # xlamp -> alice and xlamp -> bob at t0; alice -> ok_name at t1
+    # (the >15-char mention is rejected like assign_id does)
+    t0 = edges.agg(F.min("ts")).collect()[0][0]
+    t1 = edges.agg(F.max("ts")).collect()[0][0]
+    assert t1 - t0 == 60
+    assert (m["xlamp"], m["alice"], t0) in got
+    assert (m["xlamp"], m["bob"], t0) in got
+    assert (m["alice"], m["ok_name"], t1) in got
+    assert len(got) == 3
+
+
+def test_parse_delimited_with_header_to_featurize(spark, tmpdir):
+    from graphchi_cpp_spark.cf.fm import featurize
+    from graphchi_cpp_spark.sources.parsers import parse_delimited_with_header
+
+    p = _write(
+        tmpdir,
+        "nb.csv",
+        "label,word,doc\nspam,viagra,d1\nham,hello,d2\nspam,deal,d1\n",
+    )
+    df = parse_delimited_with_header(spark.read.text(p))
+    assert df.columns == ["label", "word", "doc"]
+    assert df.count() == 3
+    out, mapping = featurize(df, categorical=["label", "word", "doc"])
+    # labels {ham,spam} -> 2 codes, words 3, docs 2 -> 7 feature ids
+    assert mapping.count() == 7
+    assert out.select("_feat_0", "_feat_1", "_feat_2").distinct().count() == 3

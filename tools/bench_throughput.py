@@ -50,6 +50,14 @@ def main():
         cc_s = time.time() - t0
 
         t0 = time.time()
+        from graphchi_cpp_spark.algos.connected_components import (
+            connected_components_star,
+        )
+
+        connected_components_star(g).count()
+        ccs_s = time.time() - t0
+
+        t0 = time.time()
         from graphchi_cpp_spark.algos.triangles import triangle_count
 
         triangle_count(g).collect()
@@ -83,6 +91,8 @@ def main():
                 "pagerank_edges_per_s_per_iter": int(3 * m / pr_s),
                 "wcc_s": round(cc_s, 2),
                 "wcc_edges_per_s": int(m / cc_s),
+                "wcc_star_s": round(ccs_s, 2),
+                "wcc_star_edges_per_s": int(m / ccs_s),
                 "triangles_s": round(tri_s, 2),
                 "triangles_edges_per_s": int(m / tri_s),
                 "als_3iter_s": round(als_s, 2),
