@@ -470,6 +470,17 @@ def _register_pipeline_ops():
     def q_minhash_dedup(spark, sf_dir):
         return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.3)
 
+    # exact inverted-index variant: zero false negatives (no sketch);
+    # max_df stop-shingle pruning is the documented scale knob
+    from graphchi_cpp_spark.operators.dedup import (
+        ngram_jaccard_dedup,
+        ngram_jaccard_dedup_sql,
+    )
+
+    @query("ngram_jaccard_dedup", ngram_jaccard_dedup_sql(threshold=0.3))
+    def q_ngram_jaccard_dedup(spark, sf_dir):
+        return ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.3)
+
     @query("simhash", simhash_sql())
     def q_simhash(spark, sf_dir):
         return simhash(_docs(spark, sf_dir))

@@ -255,6 +255,84 @@ def ngram_jaccard(
     )
 
 
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard dedup — no sketching: candidate pairs come
+    from the shingle inverted index (documents sharing ≥1 shingle), so
+    with ``max_df=None`` there are ZERO false negatives for any
+    threshold > 0 (a pair with positive Jaccard shares a shingle by
+    definition). Returns (doc_a, doc_b, jaccard ≥ threshold).
+
+    Scale: the postings self-join fans out Σ_sh df(sh)², so common
+    shingles dominate cost; ``max_df`` prunes shingles whose document
+    frequency exceeds it (stop-shingle removal — near-dup pairs share
+    many shingles, so dropping the few ubiquitous ones rarely loses a
+    true pair, and the bound becomes Σ over retained shingles only).
+    The partial-aggregated groupBy makes the intersection count one
+    shuffle; sizes stay computed on the UNPRUNED shingle sets so the
+    reported Jaccard is exact for every surviving pair."""
+    sh = shingle_hashes(docs, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    postings = sh
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        postings = sh.join(keep, "sh")
+    inter = (
+        postings.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(
+            postings.select(F.col("doc_id").alias("doc_b"), "sh"), "sh"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_dedup_sql(
+    docs_sql: str = "documents", n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of the unpruned exact inverted-index dedup."""
+    return f"""
+        WITH sh AS ({shingle_hashes_sql(docs_sql, n)}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {threshold}
+    """
+
+
 def minhash_dedup_pairs_sql(
     docs_sql: str = "documents",
     n: int = 3,

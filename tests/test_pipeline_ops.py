@@ -12,6 +12,8 @@ from graphchi_cpp_spark.operators.dedup import (
     minhash_signatures,
     minhash_signatures_sql,
     ngram_jaccard,
+    ngram_jaccard_dedup,
+    ngram_jaccard_dedup_sql,
     simhash,
     simhash_sql,
 )
@@ -123,6 +125,35 @@ def test_minhash_finds_planted_near_dup(spark):
         docs, spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
     ).collect()[0]["jaccard"]
     assert 0.3 < j < 1.0
+
+
+def test_ngram_jaccard_dedup_vs_duckdb(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.3),
+        duck,
+        ngram_jaccard_dedup_sql(threshold=0.3),
+    )
+
+
+def test_ngram_jaccard_dedup_max_df_keeps_true_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tonight")),
+         (3, "completely different words entirely over here right now")],
+        ["doc_id", "text"],
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_dedup(docs, threshold=0.3).collect()
+    }
+    assert set(full) == {(1, 2)}
+    # stop-shingle pruning (df<=2 drops nothing here but exercises the
+    # join path); jaccard must stay EXACT because sizes are unpruned
+    pruned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_dedup(docs, threshold=0.3, max_df=2).collect()
+    }
+    assert pruned == full
 
 
 def test_simhash_vs_duckdb(spark, sf_dir, duck):

@@ -32,6 +32,8 @@ AUDIT = [
     "ann_lsh_topk",
     "token_stats",
     "events_hourly",
+    "ngram_jaccard_dedup",
+    "sessionize",
 ]
 
 
