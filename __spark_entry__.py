@@ -545,6 +545,17 @@ def _register_pipeline_ops():
             emb, emb.filter(F.col("vec_id") % 20 == 0), k=5
         ).select("query_id", "vec_id", "cosine", F.col("rank").cast("long"))
 
+    # IVF scale path: iters=0 (seed centroids) is the oracled contract;
+    # Lloyd-refined centroids (iters>0) are recall-tested in pytest
+    from graphchi_cpp_spark.operators.similarity import ivf_topk, ivf_topk_sql
+
+    @query("ann_ivf_topk", ivf_topk_sql("vec_id % 20 = 0", k=5, n_cells=8, nprobe=3))
+    def q_ann_ivf(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") % 20 == 0), k=5, n_cells=8, nprobe=3
+        ).select("query_id", "vec_id", "cosine", F.col("rank").cast("long"))
+
 
 def _register_advanced_algos():
     from graphchi_cpp_spark.algos.msf import minimum_spanning_forest

@@ -5,10 +5,15 @@ bucketing as the scale path (bucket → candidate join → exact re-rank).
 
 Scale design: brute force is O(Q·N·D) — fine for reranking or small Q;
 the LSH path prunes to bucket collisions, turning all-pairs into an
-output-bounded equi-join (same shape as dedup.lsh_candidates). IVF with
-k-means centroids would slot in the same way (assign → probe nearest
-cells → exact re-rank); hyperplane LSH is chosen because it is fully
-deterministic (hash-derived hyperplanes, no training state).
+output-bounded equi-join (same shape as dedup.lsh_candidates). The IVF
+path (``ivf_topk``) is the FAISS-style alternative: spherical k-means
+coarse quantizer trained on a bounded deterministic sample, broadcast
+centroids → map-only cell assignment → probe the ``nprobe`` nearest
+cells per query → exact re-rank, an equi-join on cell that scans only
+nprobe/n_cells of the base at 100 TB. The registered contract uses
+``iters=0`` (seed centroids, no averaging) so every score is a
+left-to-right double dot product reproducible bit-for-bit in DuckDB;
+Lloyd refinement (``iters>0``) is recall-tested in pytest.
 
 Determinism: dot products fold left-to-right in double precision in both
 Spark (zip_with + aggregate) and DuckDB (list_dot_product on DOUBLE[]),
@@ -343,6 +348,208 @@ def lsh_cosine_topk_sql(
             FROM cand c
             JOIN q ON q.query_id = c.query_id
             JOIN base b ON b.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN — coarse quantizer + probed exact re-rank
+# --------------------------------------------------------------------- #
+def _unit(vcol: Column, nrmcol: Column) -> Column:
+    return F.transform(vcol, lambda x: x / nrmcol)
+
+
+def _cell_scores(v: Column, nrm: Column, cents: list[list[float]]) -> Column:
+    """array<struct<s,nc>> of (rounded centroid dot, -cell) — struct
+    ordering then gives argmax with smallest-cell tiebreak for free."""
+    structs = []
+    for cell, c in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        score = F.round(_dot(v, lit) / nrm, 6)
+        structs.append(
+            F.struct(score.alias("s"), F.lit(-cell).cast("int").alias("nc"))
+        )
+    return F.array(*structs)
+
+
+def _argmax_cell(v: Column, nrm: Column, cents: list[list[float]]) -> Column:
+    return (-F.array_max(_cell_scores(v, nrm, cents)).getField("nc")).cast("int")
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 0,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the coarse quantizer; returns the (tiny, n_cells × dim)
+    centroid list on the driver — it is broadcast into assignment
+    expressions, never joined.
+
+    Seeds are the ``n_cells`` lowest-id vectors of the deterministic
+    ``vec_id % sample_mod == 0`` sample, unit-normalized. ``iters``
+    rounds of spherical k-means (assign by max cosine → unit-mean
+    update) refine them; each round is one distributed pass over the
+    sample plus an n_cells × dim collect, so training cost is bounded
+    by the sample size, not the corpus — the FAISS convention. Empty
+    cells keep their previous centroid."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if sample_mod > 1:
+        base = base.filter(F.col("vec_id") % sample_mod == 0)
+    base = base.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    seed = (
+        base.orderBy("vec_id")
+        .limit(n_cells)
+        .select(_unit(F.col("v"), F.col("nrm")).alias("c"))
+        .collect()
+    )
+    cents = [list(r["c"]) for r in seed]
+    for _ in range(iters):
+        upd = (
+            base.withColumn("cell", _argmax_cell(F.col("v"), F.col("nrm"), cents))
+            .select(
+                "cell",
+                F.posexplode(_unit(F.col("v"), F.col("nrm"))).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, comps in by_cell.items():
+            mean = [comps[p] for p in range(len(cents[cell]))]
+            nrm = sum(x * x for x in mean) ** 0.5
+            if nrm > 0:
+                cents[cell] = [x / nrm for x in mean]
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 0,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: assign every base vector to its nearest centroid
+    (map-only — centroids are expression literals), probe the ``nprobe``
+    best cells per query, exact-cosine re-rank only inside probed cells.
+    At scale the candidate join is an equi-join on ``cell`` that touches
+    ~nprobe/n_cells of the base; recall < 1 by construction (documented
+    ANN semantics), tune (n_cells, nprobe) for the recall/cost point."""
+    cents = ivf_centroids(embeddings, n_cells, iters, sample_mod, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    assign = base.withColumn(
+        "cell", _argmax_cell(F.col("v"), F.col("nrm"), cents)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    # top-nprobe cells: sort (s, nc) asc then reverse → s desc, cell asc
+    probes = q.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            _cell_scores(F.col("qv"), F.col("qnrm"), cents)
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda st: (-st.getField("nc")).cast("int"),
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    return top_k_per_key(scored, "query_id", "cosine", k, tiebreak_col="vec_id")
+
+
+def ivf_topk_sql(
+    queries_filter: str,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    sample_mod: int = 1,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for ``ivf_topk(iters=0)`` — seed centroids involve
+    no averaging, so every score is the same left-to-right double dot
+    product in both engines (round-6 guarded, cell-asc tiebreaks)."""
+    sample = f"vec_id % {sample_mod} = 0" if sample_mod > 1 else "TRUE"
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM {table}
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   list_transform(v, x -> x / nrm) AS c
+            FROM (SELECT * FROM base WHERE {sample}
+                  ORDER BY vec_id LIMIT {n_cells})
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT b.vec_id, c.cell, row_number() OVER (
+                    PARTITION BY b.vec_id
+                    ORDER BY round(list_dot_product(b.v, c.c) / b.nrm, 6) DESC,
+                             c.cell ASC) AS rn
+                FROM base b CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM base
+              WHERE {queries_filter}),
+        probes AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell, row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY round(list_dot_product(q.qv, c.c) / q.qnrm, 6) DESC,
+                             c.cell ASC) AS rn
+                FROM q CROSS JOIN cents c
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id,
+                   round(list_dot_product(q.qv, b.v) / (q.qnrm * b.nrm), 6) AS cosine
+            FROM probes p
+            JOIN assign a USING (cell)
+            JOIN q ON q.query_id = p.query_id
+            JOIN base b ON b.vec_id = a.vec_id
+            WHERE a.vec_id != p.query_id
         )
         SELECT query_id, vec_id, cosine, rank FROM (
             SELECT *, row_number() OVER (

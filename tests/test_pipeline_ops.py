@@ -26,6 +26,9 @@ from graphchi_cpp_spark.operators.multimodal import (
 from graphchi_cpp_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_sql,
+    ivf_centroids,
+    ivf_topk,
+    ivf_topk_sql,
     lsh_cosine_topk,
 )
 from graphchi_cpp_spark.operators.text import (
@@ -192,6 +195,59 @@ def test_lsh_cosine_topk_recall(spark, sf_dir):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall > 0.5  # 8 bands x 4 planes OR-amplification
+
+
+def test_ivf_topk_vs_duckdb(spark, sf_dir, duck):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert_df_matches_oracle(
+        ivf_topk(
+            emb, emb.filter(F.col("vec_id") % 20 == 0), k=5, n_cells=8, nprobe=3
+        ),
+        duck,
+        ivf_topk_sql("vec_id % 20 = 0", k=5, n_cells=8, nprobe=3),
+    )
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe = n_cells probes every cell → exactly the brute-force
+    result (the IVF plumbing loses nothing; only probe pruning is
+    approximate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=4, nprobe=4).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_lloyd_refinement_recall(spark):
+    """Planted clusters: after Lloyd refinement, probing 1 of 4 cells
+    still recovers the true same-cluster neighbors (recall 1.0 on
+    well-separated data); centroids must be unit-norm."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4, 16)  # 4 orthogonal cluster directions
+    rows = []
+    for i in range(80):
+        c = i % 4
+        v = centers[c] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf_centroids(emb, n_cells=4, iters=3)
+    for c in cents:
+        assert abs(sum(x * x for x in c) ** 0.5 - 1.0) < 1e-9
+    queries = emb.filter(F.col("vec_id") < 4)  # one per cluster
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=4, nprobe=1, iters=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) == 1.0
 
 
 def test_lsh_near_dups_subset_of_brute_force(spark, sf_dir):
