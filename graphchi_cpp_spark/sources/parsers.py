@@ -15,6 +15,13 @@ domain formats re-expressed as declarative Spark text pipelines.
   (``toolkits/parsers/nbayes.cpp:70-90``): first line names columns,
   remaining lines split into them; feed the result to ``cf.fm
   .featurize`` for the reference's string→id dictionary encoding.
+- ``parse_texttokens`` / ``count_values`` / ``parse_ips`` /
+  ``aggregate_edge_column`` / ``parse_consecutive_longs`` — the rest of
+  the parsers toolkit (texttokens/count/ips2ids/aggregator/
+  consecutive_longs .cpp): bag-of-words with global-frequency
+  thresholds, value histogram over a text source, IPv4→consecutive-id
+  edges, per-edge column aggregation, and consecutive relabeling with
+  shared or per-side id spaces.
 
 All three consume a lines DataFrame from ``spark.read.text`` (columns
 ``value`` and, via ``input_file_name``/``zipWithIndex`` helpers below,
@@ -159,3 +166,171 @@ def parse_delimited_with_header(
             ]
         )
     )
+
+
+# the reference's tokenizer delimiter set (texttokens.cpp:52 /
+# aggregator.cpp:71): whitespace plus punctuation, as a regex class
+_TOKEN_DELIMS = r"[\s!?@#$%^&*()\-+.,~`'\";:]+"
+
+
+def parse_texttokens(
+    lines: DataFrame,
+    min_threshold: int = 1,
+    max_threshold: int = 1_234_567_890,
+) -> tuple[DataFrame, DataFrame]:
+    """texttokens (``toolkits/parsers/texttokens.cpp:54-105``): tokenize
+    each line on the punctuation/space delimiter set, drop 1-char
+    tokens, dictionary-encode tokens to consecutive ids, and emit the
+    per-line bag-of-words. Tokens whose GLOBAL occurrence count falls
+    outside [min_threshold, max_threshold] are filtered (the
+    reference's stop/rare-word thresholds). Returns
+    ((line_id, token_id, count), mapping(orig token, dense_id)).
+
+    Dense ids follow token sort order (the S14 convention) rather than
+    first-seen arrival order — arrival order is meaningless under
+    parallel parsing."""
+    src = _with_line_order(lines).filter(F.length("value") > 1)
+    toks = src.select(
+        F.col("idx").alias("line_id"),
+        F.explode(F.split(F.col("value"), _TOKEN_DELIMS)).alias("token"),
+    ).filter(F.length("token") > 1)
+    counts = toks.groupBy("line_id", "token").agg(F.count("*").alias("count"))
+    totals = (
+        counts.groupBy("token")
+        .agg(F.sum("count").alias("_tot"))
+        .filter(F.col("_tot").between(min_threshold, max_threshold))
+    )
+    mapping = totals.select(
+        F.col("token").alias("orig"),
+        (F.row_number().over(Window.orderBy("token")).cast("long") - 1).alias(
+            "dense_id"
+        ),
+    )
+    out = counts.join(
+        mapping.select(F.col("orig").alias("token"), F.col("dense_id")), "token"
+    ).select("line_id", F.col("dense_id").alias("token_id"), "count")
+    return out, mapping
+
+
+def count_values(lines: DataFrame, skip_lines: int = 2) -> DataFrame:
+    """count (``toolkits/parsers/count.cpp:51-80``): one integer per
+    line, first ``skip_lines`` lines of each file skipped (the MM-ish
+    header the reference hardcodes); returns (value, count) — A4 over a
+    text source."""
+    src = _with_line_order(lines)
+    first = src.groupBy("file").agg(F.min("idx").alias("_h"))
+    return (
+        src.join(first, "file")
+        .filter(F.col("idx") >= F.col("_h") + skip_lines)
+        .select(F.trim("value").try_cast("long").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+_IPV4 = (
+    r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+)
+
+
+def _ip_to_long(col):
+    o = F.split(col, r"\.")
+    return (
+        F.element_at(o, 1).cast("long") * 16777216
+        + F.element_at(o, 2).cast("long") * 65536
+        + F.element_at(o, 3).cast("long") * 256
+        + F.element_at(o, 4).cast("long")
+    )
+
+
+def parse_ips(
+    lines: DataFrame, delimiter: str = " "
+) -> tuple[DataFrame, DataFrame]:
+    """ips2ids (``toolkits/parsers/ips2ids.cpp:54-140``): lines of
+    ``caller_ip callee_ip attribute``; rows whose caller/callee fail
+    IPv4 validation are skipped (inet_aton semantics), surviving IPs
+    are dictionary-encoded to consecutive ids shared across both
+    columns. Returns ((src, dst, attribute), mapping(ip, dense_id))."""
+    parts = F.split(F.col("value"), delimiter)
+    raw = lines.select(
+        F.element_at(parts, 1).alias("caller"),
+        F.element_at(parts, 2).alias("callee"),
+        F.element_at(parts, 3).alias("attribute"),
+    ).filter(
+        F.col("caller").rlike(_IPV4) & F.col("callee").rlike(_IPV4)
+    )
+    edges = raw.select(
+        _ip_to_long(F.col("caller")).alias("src"),
+        _ip_to_long(F.col("callee")).alias("dst"),
+        "attribute",
+    )
+    return densify_ids(edges)
+
+
+def aggregate_edge_column(lines: DataFrame, col: int = 3) -> DataFrame:
+    """aggregator (``toolkits/parsers/aggregator.cpp:76-140``): lines of
+    ``from to c3 c4 …`` — sum column ``col`` (1-based, ≥3) over all
+    lines sharing (from, to). The reference exploits sorted input to
+    aggregate adjacent runs; groupBy gives the same totals without the
+    sort precondition. Returns (src, dst, total)."""
+    parts = F.split(F.col("value"), _TOKEN_DELIMS)
+    return (
+        lines.select(
+            F.element_at(parts, 1).try_cast("long").alias("src"),
+            F.element_at(parts, 2).try_cast("long").alias("dst"),
+            F.element_at(parts, col).try_cast("double").alias("_v"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("_v").isNotNull()
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("_v").alias("total"))
+    )
+
+
+def parse_consecutive_longs(
+    edges: DataFrame, single_domain: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """consecutive_longs (``toolkits/parsers/consecutive_longs.cpp:
+    58-134``): arbitrary (string or sparse) src/dst keys → consecutive
+    ids. ``single_domain=True`` shares one id space across both columns
+    (the reference's flag of the same name); otherwise each side gets
+    its own consecutive space (user/item bipartite convention). Returns
+    (relabeled_edges, src_mapping, dst_mapping) — identical mappings in
+    the single-domain case."""
+    if single_domain:
+        out, mapping = densify_ids(edges)
+        return out, mapping, mapping
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    src_map = (
+        edges.select(F.col("src").alias("orig"))
+        .distinct()
+        .withColumn(
+            "dense_id",
+            F.row_number().over(Window.orderBy("orig")).cast("long") - 1,
+        )
+    )
+    dst_map = (
+        edges.select(F.col("dst").alias("orig"))
+        .distinct()
+        .withColumn(
+            "dense_id",
+            F.row_number().over(Window.orderBy("orig")).cast("long") - 1,
+        )
+    )
+    out = (
+        edges.join(
+            src_map.select(F.col("orig").alias("src"), F.col("dense_id").alias("_s")),
+            "src",
+        )
+        .join(
+            dst_map.select(F.col("orig").alias("dst"), F.col("dense_id").alias("_d")),
+            "dst",
+        )
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), *others)
+    )
+    return out, src_map, dst_map

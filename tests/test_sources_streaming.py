@@ -276,3 +276,93 @@ def test_parse_delimited_with_header_to_featurize(spark, tmpdir):
     # labels {ham,spam} -> 2 codes, words 3, docs 2 -> 7 feature ids
     assert mapping.count() == 7
     assert out.select("_feat_0", "_feat_1", "_feat_2").distinct().count() == 3
+
+
+def test_parse_texttokens(spark, tmpdir):
+    from graphchi_cpp_spark.sources.parsers import parse_texttokens
+
+    p = _write(
+        tmpdir,
+        "docs.txt",
+        "the cat, sat on the mat!\n"
+        "a cat and a dog\n"  # 1-char tokens 'a' dropped
+        "\n"
+        "rare word\n",
+    )
+    out, mapping = parse_texttokens(spark.read.text(p))
+    m = {r["orig"]: r["dense_id"] for r in mapping.collect()}
+    # sorted vocab gets consecutive ids 0..V-1
+    assert sorted(m.values()) == list(range(len(m)))
+    assert "a" not in m
+    bow = {
+        (r["line_id"], r["token_id"]): r["count"] for r in out.collect()
+    }
+    assert bow[(0, m["the"])] == 2
+    assert bow[(1, m["cat"])] == 1
+    # global frequency thresholds: min 2 keeps only 'the' and 'cat'
+    out2, map2 = parse_texttokens(spark.read.text(p), min_threshold=2)
+    assert {r["orig"] for r in map2.collect()} == {"the", "cat"}
+    assert out2.count() == 3  # the(l0), cat(l0), cat(l1)
+
+
+def test_count_values(spark, tmpdir):
+    from graphchi_cpp_spark.sources.parsers import count_values
+
+    p = _write(
+        tmpdir, "vals.txt", "%%header\n10 10\n1\n2\n2\n3\n3\n3\n"
+    )
+    got = {r["value"]: r["count"] for r in count_values(spark.read.text(p)).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_parse_ips(spark, tmpdir):
+    from graphchi_cpp_spark.sources.parsers import parse_ips
+
+    p = _write(
+        tmpdir,
+        "calls.txt",
+        "10.0.0.1 10.0.0.2 5\n"
+        "999.0.0.1 10.0.0.2 7\n"  # invalid caller dropped
+        "10.0.0.2 10.0.0.1 3\n",
+    )
+    edges, mapping = parse_ips(spark.read.text(p))
+    rows = {(r["src"], r["dst"], r["attribute"]) for r in edges.collect()}
+    assert len(rows) == 2
+    assert mapping.count() == 2  # two distinct valid IPs, shared space
+    ids = {r["dense_id"] for r in mapping.collect()}
+    assert ids == {0, 1}
+    assert (0, 1, "5") in rows and (1, 0, "3") in rows
+
+
+def test_aggregate_edge_column(spark, tmpdir):
+    from graphchi_cpp_spark.sources.parsers import aggregate_edge_column
+
+    p = _write(
+        tmpdir,
+        "agg.txt",
+        "1 2 10 99\n1 2 5 99\n2 3 7 1\nbad line here x\n",
+    )
+    got = {
+        (r["src"], r["dst"]): r["total"]
+        for r in aggregate_edge_column(spark.read.text(p), col=3).collect()
+    }
+    assert got == {(1, 2): 15.0, (2, 3): 7.0}
+
+
+def test_parse_consecutive_longs(spark):
+    from graphchi_cpp_spark.sources.parsers import parse_consecutive_longs
+
+    edges = spark.createDataFrame(
+        [("u9", "m7", 4.0), ("u3", "m7", 2.0), ("u9", "m1", 5.0)],
+        ["src", "dst", "rating"],
+    )
+    # separate id spaces: users 0..1, items 0..1
+    out, smap, dmap = parse_consecutive_longs(edges, single_domain=False)
+    s = {r["orig"]: r["dense_id"] for r in smap.collect()}
+    d = {r["orig"]: r["dense_id"] for r in dmap.collect()}
+    assert s == {"u3": 0, "u9": 1} and d == {"m1": 0, "m7": 1}
+    rows = {(r["src"], r["dst"], r["rating"]) for r in out.collect()}
+    assert rows == {(1, 1, 4.0), (0, 1, 2.0), (1, 0, 5.0)}
+    # shared id space: one dictionary over all 4 keys
+    out1, m1, m2 = parse_consecutive_longs(edges, single_domain=True)
+    assert m1.count() == 4 and m2.count() == 4
