@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ngram_jaccard_dedup",
     "random_walks",
     "word_pair_mi",
     "events_hourly",
