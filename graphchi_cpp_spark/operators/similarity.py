@@ -22,7 +22,7 @@ so scores are bit-comparable; ranks tiebreak on id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from graphchi_cpp_spark.operators.text import HASH_PRIME
 from graphchi_cpp_spark.operators.toplist import top_k_per_key
@@ -381,6 +381,38 @@ def _argmax_cell(v: Column, nrm: Column, cents: list[list[float]]) -> Column:
     return (-F.array_max(_cell_scores(v, nrm, cents)).getField("nc")).cast("int")
 
 
+# above this many cells, literal expressions stop being the right plan
+# (codegen size grows as n_cells × dim) — switch to a broadcast join
+EXPR_CELLS_LIMIT = 64
+
+
+def _cents_df(df_src: DataFrame, cents: list[list[float]]) -> DataFrame:
+    spark = df_src.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["cell", "c"]
+    ).select("cell", F.col("c").cast("array<double>").alias("c"))
+
+
+def _rank_cells_via_join(
+    vecs: DataFrame, cents: list[list[float]], id_col: str, n_keep: int
+) -> DataFrame:
+    """(id_col, cell) — the n_keep best cells per vector via a broadcast
+    join against the centroid table: n × n_cells scored rows, ranked by
+    (rounded dot desc, cell asc). The large-n_cells twin of the literal
+    expressions (identical scores, same tiebreak)."""
+    scored = vecs.crossJoin(F.broadcast(_cents_df(vecs, cents))).select(
+        id_col,
+        "cell",
+        F.round(_dot(F.col("v"), F.col("c")) / F.col("nrm"), 6).alias("s"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_keep)
+        .select(id_col, "cell")
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -415,8 +447,16 @@ def ivf_centroids(
     )
     cents = [list(r["c"]) for r in seed]
     for _ in range(iters):
+        if len(cents) > EXPR_CELLS_LIMIT:
+            assigned = base.join(
+                _rank_cells_via_join(base, cents, "vec_id", 1), "vec_id"
+            )
+        else:
+            assigned = base.withColumn(
+                "cell", _argmax_cell(F.col("v"), F.col("nrm"), cents)
+            )
         upd = (
-            base.withColumn("cell", _argmax_cell(F.col("v"), F.col("nrm"), cents))
+            assigned
             .select(
                 "cell",
                 F.posexplode(_unit(F.col("v"), F.col("nrm"))).alias("pos", "val"),
@@ -458,31 +498,42 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    assign = base.withColumn(
-        "cell", _argmax_cell(F.col("v"), F.col("nrm"), cents)
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-    # top-nprobe cells: sort (s, nc) asc then reverse → s desc, cell asc
-    probes = q.select(
-        "query_id",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.reverse(
-                        F.array_sort(
-                            _cell_scores(F.col("qv"), F.col("qnrm"), cents)
-                        )
+    if n_cells > EXPR_CELLS_LIMIT:
+        assign = base.join(
+            _rank_cells_via_join(base, cents, "vec_id", 1), "vec_id"
+        )
+        probes = _rank_cells_via_join(
+            q.select("query_id", F.col("qv").alias("v"), F.col("qnrm").alias("nrm")),
+            cents,
+            "query_id",
+            nprobe,
+        )
+    else:
+        assign = base.withColumn(
+            "cell", _argmax_cell(F.col("v"), F.col("nrm"), cents)
+        )
+        # top-nprobe cells: sort (s, nc) asc, reverse → s desc, cell asc
+        probes = q.select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(
+                                _cell_scores(F.col("qv"), F.col("qnrm"), cents)
+                            )
+                        ),
+                        1,
+                        nprobe,
                     ),
-                    1,
-                    nprobe,
-                ),
-                lambda st: (-st.getField("nc")).cast("int"),
-            )
-        ).alias("cell"),
-    )
+                    lambda st: (-st.getField("nc")).cast("int"),
+                )
+            ).alias("cell"),
+        )
     scored = (
         probes.join(assign, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))

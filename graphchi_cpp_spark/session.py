@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # localCheckpoint blocks are only reclaimed when the ContextCleaner
+        # sees the RDD get GC'd; with a roomy heap the driver may not GC for
+        # the 30min default interval, so superseded superstep states pile up
+        # in the block manager and starve later jobs (measured: 2-3x slower
+        # back-to-back iterative workloads at 30M edges). Tighten it.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

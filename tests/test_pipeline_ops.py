@@ -159,6 +159,25 @@ def test_ngram_jaccard_dedup_max_df_keeps_true_pair(spark):
     assert pruned == full
 
 
+def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_dir):
+    """Cross-operator invariant: the sketched pipeline (LSH candidates →
+    exact verify) can only MISS pairs, never invent them — its output is
+    a subset of the exact inverted-index dedup at the same threshold,
+    with identical jaccard values."""
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_dedup(docs, threshold=0.3).collect()
+    }
+    sketched = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    assert set(sketched) <= set(exact)
+    for pair, j in sketched.items():
+        assert j == exact[pair]
+
+
 def test_simhash_vs_duckdb(spark, sf_dir, duck):
     assert_df_matches_oracle(simhash(_docs(spark, sf_dir)), duck, simhash_sql())
 
@@ -223,6 +242,26 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=5, n_cells=4, nprobe=4).collect()
     }
     assert full == exact
+
+
+def test_ivf_join_assignment_matches_expressions(spark, sf_dir, monkeypatch):
+    """The broadcast-join assignment path (used above EXPR_CELLS_LIMIT)
+    must produce the identical result to the literal-expression path —
+    same rounded scores, same cell-asc tiebreaks."""
+    from graphchi_cpp_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    expr = sorted(
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=8, nprobe=3).collect()
+    )
+    monkeypatch.setattr(sim, "EXPR_CELLS_LIMIT", 4)
+    joined = sorted(
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=8, nprobe=3).collect()
+    )
+    assert joined == expr
 
 
 def test_ivf_lloyd_refinement_recall(spark):

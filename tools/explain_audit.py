@@ -34,6 +34,7 @@ AUDIT = [
     "events_hourly",
     "ngram_jaccard_dedup",
     "sessionize",
+    "ann_ivf_topk",
 ]
 
 
