@@ -481,6 +481,28 @@ def _register_pipeline_ops():
     def q_ngram_jaccard_dedup(spark, sf_dir):
         return ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.3)
 
+    # decontamination: every 10th doc plays the "benchmark suite",
+    # the rest the training corpus; probe shingles broadcast
+    from graphchi_cpp_spark.operators.dedup import (
+        ngram_contamination,
+        ngram_contamination_sql,
+    )
+
+    @query(
+        "ngram_contamination",
+        ngram_contamination_sql(
+            "doc_id % 10 != 0", "doc_id % 10 = 0", n=5, min_containment=0.2
+        ),
+    )
+    def q_ngram_contamination(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return ngram_contamination(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            n=5,
+            min_containment=0.2,
+        )
+
     @query("simhash", simhash_sql())
     def q_simhash(spark, sf_dir):
         return simhash(_docs(spark, sf_dir))

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ngram_jaccard_dedup",
+    "ngram_contamination",
     "random_walks",
     "word_pair_mi",
     "events_hourly",

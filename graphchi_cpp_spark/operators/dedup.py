@@ -333,6 +333,84 @@ def ngram_jaccard_dedup_sql(
     """
 
 
+def ngram_contamination(
+    train: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_containment: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: for each (train doc, probe doc) pair,
+    containment = |shared n-gram shingles| / |probe shingles| — the
+    fraction of the benchmark document already present in the training
+    document. Returns (train_id, probe_id, overlap, containment ≥
+    min_containment).
+
+    Scale: probe sets (benchmark suites) are tiny next to a 100 TB
+    training corpus, so the probe shingle table is broadcast — the whole
+    check is one map-side join over the training shingle stream plus a
+    partially-aggregated groupBy; no shuffle of train-side shingles by
+    key is ever needed. Longer n (5-13 words) is the decontamination
+    convention: incidental phrase overlap dies off exponentially in n."""
+    t_sh = shingle_hashes(train, text_col, n)
+    p_sh = shingle_hashes(probes, text_col, n)
+    p_sizes = p_sh.groupBy("doc_id").agg(F.count("*").alias("psz"))
+    inter = (
+        t_sh.select(F.col("doc_id").alias("train_id"), "sh")
+        .join(
+            F.broadcast(p_sh.select(F.col("doc_id").alias("probe_id"), "sh")),
+            "sh",
+        )
+        .groupBy("train_id", "probe_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    return (
+        inter.join(
+            F.broadcast(p_sizes.select(F.col("doc_id").alias("probe_id"), "psz")),
+            "probe_id",
+        )
+        .select(
+            "train_id",
+            "probe_id",
+            "overlap",
+            F.round(F.col("overlap") / F.col("psz"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
+def ngram_contamination_sql(
+    train_filter: str,
+    probe_filter: str,
+    docs_sql: str = "documents",
+    n: int = 5,
+    min_containment: float = 0.2,
+) -> str:
+    """DuckDB twin: ``train_filter``/``probe_filter`` are WHERE
+    predicates carving the two sides out of the documents table."""
+    return f"""
+        WITH t_sh AS (
+            SELECT * FROM ({shingle_hashes_sql(docs_sql, n)})
+            WHERE {train_filter}
+        ),
+        p_sh AS (
+            SELECT * FROM ({shingle_hashes_sql(docs_sql, n)})
+            WHERE {probe_filter}
+        ),
+        p_sizes AS (SELECT doc_id, count(*) AS psz FROM p_sh GROUP BY doc_id),
+        inter AS (
+            SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
+                   count(*) AS overlap
+            FROM t_sh t JOIN p_sh p ON t.sh = p.sh
+            GROUP BY 1, 2
+        )
+        SELECT train_id, probe_id, overlap,
+               round(overlap * 1.0 / psz, 6) AS containment
+        FROM inter JOIN p_sizes ON p_sizes.doc_id = probe_id
+        WHERE round(overlap * 1.0 / psz, 6) >= {min_containment}
+    """
+
+
 def minhash_dedup_pairs_sql(
     docs_sql: str = "documents",
     n: int = 3,

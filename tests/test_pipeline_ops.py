@@ -178,6 +178,48 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_dir):
         assert j == exact[pair]
 
 
+def test_ngram_contamination_vs_duckdb(spark, sf_dir, duck):
+    from graphchi_cpp_spark.operators.dedup import (
+        ngram_contamination,
+        ngram_contamination_sql,
+    )
+
+    docs = _docs(spark, sf_dir)
+    assert_df_matches_oracle(
+        ngram_contamination(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            n=5,
+            min_containment=0.2,
+        ),
+        duck,
+        ngram_contamination_sql(
+            "doc_id % 10 != 0", "doc_id % 10 = 0", n=5, min_containment=0.2
+        ),
+    )
+
+
+def test_ngram_contamination_planted(spark):
+    from graphchi_cpp_spark.operators.dedup import ngram_contamination
+
+    probe = "the quick brown fox jumps over the lazy sleeping dog"
+    train = spark.createDataFrame(
+        [
+            (1, f"some preamble text here {probe} and a long trailing suffix"),
+            (2, "entirely unrelated content about graph partitioning at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame([(100, probe)], ["doc_id", "text"])
+    got = {
+        r["train_id"]: (r["overlap"], r["containment"])
+        for r in ngram_contamination(train, probes, n=5).collect()
+    }
+    # every 5-gram of the probe appears verbatim in doc 1 → containment 1.0
+    assert set(got) == {1}
+    assert got[1][1] == 1.0
+
+
 def test_simhash_vs_duckdb(spark, sf_dir, duck):
     assert_df_matches_oracle(simhash(_docs(spark, sf_dir)), duck, simhash_sql())
 

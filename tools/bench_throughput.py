@@ -69,10 +69,11 @@ def main():
         connected_components_star(g).count()
         ccs_s = time.time() - t0
 
-        # triangle counting shuffles the full wedge set — at 100M edges
-        # that exceeds this host's scratch disk (measured ENOSPC); cap it
+        # triangle counting shuffles the full wedge set; the cap guards
+        # scratch disk on small hosts (100M edges measured < 10G shuffle
+        # once checkpoint reclaim is active, so the default is generous)
         tri_cap = int(
-            float(os.environ.get("SPARK_GRAFT_TRI_CAP_EDGES", 50_000_000))
+            float(os.environ.get("SPARK_GRAFT_TRI_CAP_EDGES", 200_000_000))
         )
         tri_s = None
         if m <= tri_cap:
