@@ -446,6 +446,15 @@ def _register_pipeline_ops():
     def q_token_stats(spark, sf_dir):
         return token_stats(_docs(spark, sf_dir))
 
+    from graphchi_cpp_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    @query("repetition_stats", repetition_stats_sql())
+    def q_repetition_stats(spark, sf_dir):
+        return repetition_stats(_docs(spark, sf_dir))
+
     @query("quality_scores", quality_scores_sql())
     def q_quality(spark, sf_dir):
         return quality_scores(_docs(spark, sf_dir))
@@ -501,6 +510,30 @@ def _register_pipeline_ops():
             docs.filter(F.col("doc_id") % 10 == 0),
             n=5,
             min_containment=0.2,
+        )
+
+    # full corpus-cleaning composition: dedup -> quality/repetition
+    # filters -> decontamination, verified end-to-end via nested CTEs
+    from graphchi_cpp_spark.pipeline import clean_corpus, clean_corpus_sql
+
+    @query(
+        "clean_corpus",
+        clean_corpus_sql(
+            "doc_id % 10 != 0",
+            "doc_id % 10 = 0",
+            quality_min=0.5,
+            dup_bigram_max=0.5,
+            contamination_max=0.8,
+        ),
+    )
+    def q_clean_corpus(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return clean_corpus(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            quality_min=0.5,
+            dup_bigram_max=0.5,
+            contamination_max=0.8,
         )
 
     @query("simhash", simhash_sql())

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ngram_jaccard_dedup",
     "ngram_contamination",
+    "clean_corpus",
     "random_walks",
     "word_pair_mi",
     "events_hourly",

@@ -217,3 +217,89 @@ def fingerprints_sql(docs_sql: str = "documents", w: int = 5) -> str:
                )) AS fingerprint
         FROM {docs_sql}
     """
+
+
+# --------------------------------------------------------------------- #
+# repetition signals (Gopher-style duplicate-n-gram fractions)
+# --------------------------------------------------------------------- #
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+    top_bigram_frac) — within-document repetition signals used by
+    Gopher/CCNet-style quality filters: the fraction of token (and
+    bigram) occurrences that are repeats of an earlier occurrence, and
+    the share of bigram occurrences claimed by the single most frequent
+    bigram.
+
+    Scale: one explode + one (doc_id, gram) groupBy + one doc_id
+    re-aggregate — all partially aggregated, no joins; cost is linear in
+    corpus token count."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    per_tok = docs.select(
+        "doc_id", F.explode(toks).alias("g")
+    ).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    tok_agg = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            (F.sum("c") - F.count("*")) / F.sum("c"), 6
+        ).alias("dup_token_frac"),
+    )
+    per_bg = docs.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bg_agg = per_bg.groupBy("doc_id").agg(
+        F.round((F.sum("c") - F.count("*")) / F.sum("c"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+    )
+    return tok_agg.join(bg_agg, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "top_bigram_frac",
+    )
+
+
+def repetition_stats_sql(docs_sql: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS g
+            FROM {docs_sql}
+        ),
+        per_tok AS (
+            SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2
+        ),
+        tok_agg AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                   round((sum(c) - count(*)) * 1.0 / sum(c), 6)
+                       AS dup_token_frac
+            FROM per_tok GROUP BY doc_id
+        ),
+        bgs AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+                i -> array_to_string(string_split(text,' ')[i : i + 1], ' ')
+            )) AS g
+            FROM {docs_sql}
+        ),
+        per_bg AS (
+            SELECT doc_id, g, count(*) AS c FROM bgs GROUP BY 1, 2
+        ),
+        bg_agg AS (
+            SELECT doc_id,
+                   round((sum(c) - count(*)) * 1.0 / sum(c), 6)
+                       AS dup_bigram_frac,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+            FROM per_bg GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+               top_bigram_frac
+        FROM tok_agg JOIN bg_agg USING (doc_id)
+    """

@@ -220,6 +220,68 @@ def test_ngram_contamination_planted(spark):
     assert got[1][1] == 1.0
 
 
+def test_repetition_stats_vs_duckdb(spark, sf_dir, duck):
+    from graphchi_cpp_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    assert_df_matches_oracle(
+        repetition_stats(_docs(spark, sf_dir)), duck, repetition_stats_sql()
+    )
+
+
+def test_repetition_stats_planted(spark):
+    from graphchi_cpp_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 1 distinct token, 1 distinct bigram
+            (2, "all four tokens differ"),  # no repetition at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_token_frac"] == 0.75  # 3 of 4 occurrences repeat
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["dup_bigram_frac"] == 0.0
+
+
+def test_clean_corpus_filters_compose(spark):
+    """Each pipeline stage knocks out exactly the planted offender:
+    the exact duplicate, the low-quality fragment, the repetitive doc,
+    and the contaminated doc — the natural doc survives."""
+    from graphchi_cpp_spark.pipeline import clean_corpus
+
+    probe = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    natural = (
+        "the analysis of large graphs is a topic with many interesting "
+        "questions and the methods in this work apply to a wide range of "
+        "domains for example social networks and the web of documents"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, natural),
+            (2, natural),  # exact duplicate of 1 -> deduped
+            (3, "12345 67890"),  # short, non-alpha, no stopwords -> quality floor
+            (4, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+            (5, f"intro text {probe} outro text of the training document "
+                "with a few extra words for the quality of this row and "
+                "the stopwords the a of and to in is on for with again"),
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame([(100, probe)], ["doc_id", "text"])
+    out = clean_corpus(
+        docs, probes, quality_min=0.3, dup_bigram_max=0.5, contamination_max=0.8
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # without probes, the contaminated doc survives (still beats quality)
+    out2 = clean_corpus(docs, None, quality_min=0.3, dup_bigram_max=0.5)
+    assert {r["doc_id"] for r in out2.collect()} == {1, 5}
+
+
 def test_simhash_vs_duckdb(spark, sf_dir, duck):
     assert_df_matches_oracle(simhash(_docs(spark, sf_dir)), duck, simhash_sql())
 
