@@ -172,3 +172,41 @@ def test_msf_matches_python_kruskal(spark_global, wedges):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "eee"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_matches_python(spark_global, token_lists):
+    from collections import Counter
+
+    from graphchi_cpp_spark.operators.text import repetition_stats
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark_global.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, toks in enumerate(token_lists):
+        tc = Counter(toks)
+        n = len(toks)
+        grams = (
+            [" ".join(toks[j : j + 2]) for j in range(n - 1)]
+            if n > 1
+            else [toks[0]]
+        )
+        gc_ = Counter(grams)
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["dup_token_frac"] == round((n - len(tc)) / n, 6)
+        assert r["dup_bigram_frac"] == round(
+            (len(grams) - len(gc_)) / len(grams), 6
+        )
+        assert r["top_bigram_frac"] == round(max(gc_.values()) / len(grams), 6)

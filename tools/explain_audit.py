@@ -35,6 +35,8 @@ AUDIT = [
     "ngram_jaccard_dedup",
     "sessionize",
     "ann_ivf_topk",
+    "repetition_stats",
+    "clean_corpus",
 ]
 
 
