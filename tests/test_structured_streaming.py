@@ -173,3 +173,63 @@ def test_session_window_matches_gaps_and_islands(spark, sf_dir):
         for r in sessionize_session_window(ev).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_streaming_exact_dedup_matches_batch_canonicals(spark):
+    """Streaming content-hash dedup keeps exactly the batch canonical
+    doc ids (first occurrence per distinct text) when all rows arrive
+    within the watermark horizon."""
+    import uuid
+
+    from graphchi_cpp_spark.operators.dedup import exact_duplicates
+    from graphchi_cpp_spark.streaming.dedup import streaming_exact_dedup
+
+    rows = [
+        (1, "2024-01-01T10:00:00", "alpha beta gamma"),
+        (2, "2024-01-01T10:01:00", "delta epsilon"),
+        (3, "2024-01-01T10:02:00", "alpha beta gamma"),  # dup of 1
+        (4, "2024-01-01T10:03:00", "zeta eta theta"),
+        (5, "2024-01-01T10:04:00", "delta epsilon"),  # dup of 2
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        os.makedirs(indir)
+        # two micro-batches, duplicates split across them
+        with open(os.path.join(indir, "b0.json"), "w") as f:
+            for doc_id, ts, text in rows[:3]:
+                f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+        with open(os.path.join(indir, "b1.json"), "w") as f:
+            for doc_id, ts, text in rows[3:]:
+                f.write(json.dumps({"doc_id": doc_id, "ts": ts, "text": text}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+        sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_exact_dedup(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {r["doc_id"] for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+
+    # exactly one survivor per distinct text; which copy wins depends on
+    # micro-batch arrival order (the file source does not promise it),
+    # so assert group membership, not specific ids
+    text_of = {i: t for i, _, t in rows}
+    assert len(got) == 3
+    assert {text_of[i] for i in got} == {
+        "alpha beta gamma",
+        "delta epsilon",
+        "zeta eta theta",
+    }
+    # batch twin agrees on the group structure (3 canonical groups)
+    batch = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], ["doc_id", "text"]
+    )
+    assert exact_duplicates(batch).select("canonical_id").distinct().count() == 3
