@@ -368,6 +368,22 @@ def test_ivf_join_assignment_matches_expressions(spark, sf_dir, monkeypatch):
     assert joined == expr
 
 
+def test_ivf_sample_mod_trains_on_subset(spark, sf_dir):
+    """sample_mod bounds training cost: centroids from a 1-in-5 sample
+    still come back unit-length and n_cells strong, and the full query
+    path runs end-to-end on them."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=4, iters=1, sample_mod=5)
+    assert len(cents) == 4
+    for c in cents:
+        assert abs(sum(x * x for x in c) ** 0.5 - 1.0) < 1e-9
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=3, n_cells=4, nprobe=2, iters=1, sample_mod=5,
+    )
+    assert out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 3
+
+
 def test_ivf_lloyd_refinement_recall(spark):
     """Planted clusters: after Lloyd refinement, probing 1 of 4 cells
     still recovers the true same-cluster neighbors (recall 1.0 on
