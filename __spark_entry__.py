@@ -479,8 +479,11 @@ def _register_pipeline_ops():
     def q_minhash_dedup(spark, sf_dir):
         return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.3)
 
-    # exact inverted-index variant: zero false negatives (no sketch);
-    # max_df stop-shingle pruning is the documented scale knob
+    # exact inverted-index variant; the REGISTERED contract is the
+    # scale-safe one: max_df stop-shingle pruning ON by default
+    # (DEFAULT_MAX_SHINGLE_DF) for candidate generation, with the
+    # intersection re-counted against the unpruned shingle table so
+    # reported Jaccards stay exact. max_df=None = uncapped opt-in.
     from graphchi_cpp_spark.operators.dedup import (
         ngram_jaccard_dedup,
         ngram_jaccard_dedup_sql,

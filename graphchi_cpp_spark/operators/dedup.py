@@ -26,6 +26,14 @@ from graphchi_cpp_spark.operators.text import (
     tokens,
 )
 
+# stop-shingle document-frequency cap for the exact inverted-index
+# dedup path — mirrors cf/itemcf.py:DEFAULT_MAX_USER_DEGREE: the
+# postings self-join fans out Sum_sh df(sh)^2, so one boilerplate
+# shingle shared by 10^6 docs alone yields 10^12 join rows at corpus
+# scale. ON by default; pass max_df=None for the uncapped exact run.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 # deterministic affine hash params for minhash permutations
 def _hash_params(k: int) -> list[tuple[int, int, int]]:
     """(i, a, b) for h_i(x) = (a*x + b) mod HASH_PRIME, a odd, fixed."""
@@ -260,26 +268,39 @@ def ngram_jaccard_dedup(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """EXACT n-gram Jaccard dedup — no sketching: candidate pairs come
-    from the shingle inverted index (documents sharing ≥1 shingle), so
-    with ``max_df=None`` there are ZERO false negatives for any
-    threshold > 0 (a pair with positive Jaccard shares a shingle by
-    definition). Returns (doc_a, doc_b, jaccard ≥ threshold).
+    from the shingle inverted index (documents sharing ≥1 shingle).
+    Returns (doc_a, doc_b, jaccard ≥ threshold).
 
     Scale: the postings self-join fans out Σ_sh df(sh)², so common
-    shingles dominate cost; ``max_df`` prunes shingles whose document
-    frequency exceeds it (stop-shingle removal — near-dup pairs share
-    many shingles, so dropping the few ubiquitous ones rarely loses a
-    true pair, and the bound becomes Σ over retained shingles only).
-    The partial-aggregated groupBy makes the intersection count one
-    shuffle; sizes stay computed on the UNPRUNED shingle sets so the
-    reported Jaccard is exact for every surviving pair."""
+    shingles dominate cost; ``max_df`` (ON by default,
+    ``DEFAULT_MAX_SHINGLE_DF``) prunes shingles whose document frequency
+    exceeds it from CANDIDATE GENERATION only (stop-shingle removal —
+    near-dup pairs share many shingles, so dropping the few ubiquitous
+    ones rarely loses a true pair, and the join bound becomes Σ over
+    retained shingles only). A pair is missed only if EVERY shingle it
+    shares has df > max_df. For every surviving candidate the
+    intersection is RE-COUNTED against the unpruned shingle table (a
+    candidate-bounded join), so the reported Jaccard is exact — not a
+    lower bound. Pass ``max_df=None`` for the uncapped exact run with
+    zero false negatives for any threshold > 0 (a pair with positive
+    Jaccard shares a shingle by definition); that path counts the
+    intersection in the single self-join shuffle, no recount needed.
+    This plays the memory-bounding role of the reference's pivot
+    batching (toolkits/collaborative_filtering/itemcf.cpp:206)."""
     sh = shingle_hashes(docs, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    postings = sh
-    if max_df is not None:
+    if max_df is None:
+        inter = (
+            sh.select(F.col("doc_id").alias("doc_a"), "sh")
+            .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("c"))
+        )
+    else:
         keep = (
             sh.groupBy("sh")
             .agg(F.count("*").alias("df"))
@@ -287,15 +308,24 @@ def ngram_jaccard_dedup(
             .select("sh")
         )
         postings = sh.join(keep, "sh")
-    inter = (
-        postings.select(F.col("doc_id").alias("doc_a"), "sh")
-        .join(
-            postings.select(F.col("doc_id").alias("doc_b"), "sh"), "sh"
+        cand = (
+            postings.select(F.col("doc_id").alias("doc_a"), "sh")
+            .join(postings.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
+        # exact recount on the UNPRUNED table: expand each candidate by
+        # doc_a's shingles, hash-join doc_b's — bounded by |cand|·|doc|
+        inter = (
+            cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+                ["doc_b", "sh"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("c"))
+        )
     sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
     szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
     return (
@@ -313,17 +343,41 @@ def ngram_jaccard_dedup(
 
 
 def ngram_jaccard_dedup_sql(
-    docs_sql: str = "documents", n: int = 3, threshold: float = 0.5
+    docs_sql: str = "documents",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> str:
-    """DuckDB twin of the unpruned exact inverted-index dedup."""
-    return f"""
-        WITH sh AS ({shingle_hashes_sql(docs_sql, n)}),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    """DuckDB twin of the exact inverted-index dedup, including the
+    identical max_df candidate pruning + unpruned-intersection recount."""
+    if max_df is None:
+        inter = """
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
+        )"""
+    else:
+        inter = f"""
+        keep AS (
+            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {max_df}
+        ),
+        p AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT cand.doc_a, cand.doc_b, count(*) AS c
+            FROM cand
+            JOIN sh a ON a.doc_id = cand.doc_a
+            JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+            GROUP BY 1, 2
+        )"""
+    return f"""
+        WITH sh AS ({shingle_hashes_sql(docs_sql, n)}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        {inter}
         SELECT doc_a, doc_b,
                round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
         FROM inter

@@ -131,6 +131,7 @@ def test_minhash_finds_planted_near_dup(spark):
 
 
 def test_ngram_jaccard_dedup_vs_duckdb(spark, sf_dir, duck):
+    # registered contract: default max_df pruning on both engines
     assert_df_matches_oracle(
         ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.3),
         duck,
@@ -138,25 +139,57 @@ def test_ngram_jaccard_dedup_vs_duckdb(spark, sf_dir, duck):
     )
 
 
-def test_ngram_jaccard_dedup_max_df_keeps_true_pair(spark):
-    base = "the quick brown fox jumps over the lazy dog again and again today"
+def test_ngram_jaccard_dedup_vs_duckdb_binding_max_df(spark, sf_dir, duck):
+    """max_df small enough that stop-shingle pruning BINDS on real data:
+    both engines must prune candidates identically AND recount surviving
+    intersections against the unpruned shingle table."""
+    assert_df_matches_oracle(
+        ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.2, max_df=3),
+        duck,
+        ngram_jaccard_dedup_sql(threshold=0.2, max_df=3),
+    )
+
+
+def test_ngram_jaccard_dedup_max_df_binding_recount_exact(spark):
+    """Pruning binds: 'x y z' appears in all 6 docs (df=6 > max_df=2) and
+    is dropped from candidate generation — but the surviving pair's
+    jaccard must still COUNT it (recount against unpruned shingles)."""
     docs = spark.createDataFrame(
-        [(1, base), (2, base.replace("today", "tonight")),
-         (3, "completely different words entirely over here right now")],
+        [
+            (1, "a b c d x y z"),
+            (2, "a b c d x y z q"),
+            (3, "p3 q3 x y z"),
+            (4, "p4 q4 x y z"),
+            (5, "p5 q5 x y z"),
+            (6, "p6 q6 x y z"),
+        ],
         ["doc_id", "text"],
     )
-    full = {
-        (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in ngram_jaccard_dedup(docs, threshold=0.3).collect()
-    }
-    assert set(full) == {(1, 2)}
-    # stop-shingle pruning (df<=2 drops nothing here but exercises the
-    # join path); jaccard must stay EXACT because sizes are unpruned
     pruned = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in ngram_jaccard_dedup(docs, threshold=0.3, max_df=2).collect()
+        for r in ngram_jaccard_dedup(docs, threshold=0.5, max_df=2).collect()
     }
-    assert pruned == full
+    # (1,2) share 5 shingles incl. the PRUNED 'x y z'; sizes 5 and 6 →
+    # exact jaccard 5/6. A pruned-postings count would give 4/7 ≈ 0.571.
+    assert set(pruned) == {(1, 2)}
+    assert pruned[(1, 2)] == pytest.approx(5 / 6, abs=1e-6)
+    # documented false negative: pairs sharing ONLY the pruned shingle
+    # (e.g. (3,4), exact jaccard 1/5) vanish under max_df but exist in
+    # the uncapped run at a low threshold
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_dedup(
+            docs, threshold=0.15, max_df=None
+        ).collect()
+    }
+    assert (3, 4) in full and full[(3, 4)] == pytest.approx(0.2, abs=1e-6)
+    low_pruned = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_dedup(
+            docs, threshold=0.15, max_df=2
+        ).collect()
+    }
+    assert (3, 4) not in low_pruned and (1, 2) in low_pruned
 
 
 def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_dir):
