@@ -17,7 +17,7 @@ Scale design (the point of these at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from graphchi_cpp_spark.operators.text import (
     HASH_PRIME,
@@ -270,24 +270,27 @@ def ngram_jaccard_dedup(
     threshold: float = 0.5,
     max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard dedup — no sketching: candidate pairs come
-    from the shingle inverted index (documents sharing ≥1 shingle).
-    Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """Exact-SCORE n-gram Jaccard dedup via the shingle inverted index:
+    candidate pairs are documents sharing ≥1 retained shingle; every
+    reported Jaccard is exact (computed over the FULL, unpruned shingle
+    sets). Returns (doc_a, doc_b, jaccard ≥ threshold). With the default
+    ``max_df`` pruning, recall is near- but not strictly complete: a
+    pair is missed only if EVERY shingle it shares has df > max_df.
+    Pass ``max_df=None`` for the exhaustive run with zero false
+    negatives for any threshold > 0 (a pair with positive Jaccard
+    shares a shingle by definition).
 
     Scale: the postings self-join fans out Σ_sh df(sh)², so common
     shingles dominate cost; ``max_df`` (ON by default,
     ``DEFAULT_MAX_SHINGLE_DF``) prunes shingles whose document frequency
-    exceeds it from CANDIDATE GENERATION only (stop-shingle removal —
-    near-dup pairs share many shingles, so dropping the few ubiquitous
-    ones rarely loses a true pair, and the join bound becomes Σ over
-    retained shingles only). A pair is missed only if EVERY shingle it
-    shares has df > max_df. For every surviving candidate the
-    intersection is RE-COUNTED against the unpruned shingle table (a
-    candidate-bounded join), so the reported Jaccard is exact — not a
-    lower bound. Pass ``max_df=None`` for the uncapped exact run with
-    zero false negatives for any threshold > 0 (a pair with positive
-    Jaccard shares a shingle by definition); that path counts the
-    intersection in the single self-join shuffle, no recount needed.
+    exceeds it from candidate generation (stop-shingle removal — the
+    join bound becomes Σ over retained shingles only). The pruned
+    self-join ALSO yields each candidate's intersection count over
+    retained shingles for free; exactness is restored by adding only
+    the pruned shingles' contribution — candidates joined against the
+    df>max_df postings on both sides, a join bounded by
+    |candidates| × (pruned shingles per doc), typically a handful —
+    rather than re-expanding every candidate against the full table.
     This plays the memory-bounding role of the reference's pivot
     batching (toolkits/collaborative_filtering/itemcf.cpp:206)."""
     sh = shingle_hashes(docs, text_col, n).localCheckpoint(eager=True)
@@ -301,30 +304,46 @@ def ngram_jaccard_dedup(
             .agg(F.count("*").alias("c"))
         )
     else:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh")
+        # annotate each posting with its shingle's df in ONE shuffle
+        # (window over partitionBy(sh)); the downstream self-join on sh
+        # reuses that hash partitioning, so pruning costs a filter, not
+        # a join against the keep set
+        ann = sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("sh"))
         )
-        postings = sh.join(keep, "sh")
-        cand = (
+        postings = ann.filter(F.col("df") <= max_df).select("doc_id", "sh")
+        # the candidate self-join already computes each pair's
+        # intersection count over RETAINED shingles — keep it
+        c_kept = (
             postings.select(F.col("doc_id").alias("doc_a"), "sh")
             .join(postings.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("c_kept"))
         )
-        # exact recount on the UNPRUNED table: expand each candidate by
-        # doc_a's shingles, hash-join doc_b's — bounded by |cand|·|doc|
-        inter = (
-            cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        # exactness delta: only the PRUNED (df > max_df) shingles'
+        # postings, joined against candidates on both sides — bounded
+        # by |candidates| × (pruned shingles per doc), not the full table
+        dropped_postings = ann.filter(F.col("df") > max_df).select(
+            "doc_id", "sh"
+        )
+        c_drop = (
+            c_kept.select("doc_a", "doc_b")
             .join(
-                sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+                dropped_postings.select(F.col("doc_id").alias("doc_a"), "sh"),
+                "doc_a",
+            )
+            .join(
+                dropped_postings.select(F.col("doc_id").alias("doc_b"), "sh"),
                 ["doc_b", "sh"],
             )
             .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("c"))
+            .agg(F.count("*").alias("c_drop"))
+        )
+        inter = c_kept.join(c_drop, ["doc_a", "doc_b"], "left").select(
+            "doc_a",
+            "doc_b",
+            (F.col("c_kept") + F.coalesce(F.col("c_drop"), F.lit(0))).alias("c"),
         )
     sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
     szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
@@ -359,20 +378,30 @@ def ngram_jaccard_dedup_sql(
         )"""
     else:
         inter = f"""
-        keep AS (
-            SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {max_df}
+        ann AS (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+            FROM sh
         ),
-        p AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        p AS (SELECT doc_id, sh FROM ann WHERE df <= {max_df}),
+        c_kept AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_kept
             FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dp AS (SELECT doc_id, sh FROM ann WHERE df > {max_df}),
+        c_drop AS (
+            SELECT k.doc_a, k.doc_b, count(*) AS c_drop
+            FROM c_kept k
+            JOIN dp a ON a.doc_id = k.doc_a
+            JOIN dp b ON b.doc_id = k.doc_b AND b.sh = a.sh
+            GROUP BY 1, 2
         ),
         inter AS (
-            SELECT cand.doc_a, cand.doc_b, count(*) AS c
-            FROM cand
-            JOIN sh a ON a.doc_id = cand.doc_a
-            JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
-            GROUP BY 1, 2
+            SELECT k.doc_a, k.doc_b,
+                   k.c_kept + coalesce(d.c_drop, 0) AS c
+            FROM c_kept k
+            LEFT JOIN c_drop d
+              ON d.doc_a = k.doc_a AND d.doc_b = k.doc_b
         )"""
     return f"""
         WITH sh AS ({shingle_hashes_sql(docs_sql, n)}),
