@@ -1278,14 +1278,17 @@ def _register_windows():
 
         return doc_term_counts(load_table(spark, sf_dir, "documents"))
 
-    @query("lda_topics")  # MLlib LDA — rows-only check
-    def q_lda(spark, sf_dir):
-        from graphchi_cpp_spark.operators.topics import lda_topics
+    from graphchi_cpp_spark.operators.topics import LDA_RECOVERY_ORACLE_SQL
 
-        topics, _ = lda_topics(
-            load_table(spark, sf_dir, "documents"), k=3, max_iter=5
-        )
-        return topics.select("topic", "term")
+    @query("lda_topics", LDA_RECOVERY_ORACLE_SQL)
+    def q_lda(spark, sf_dir):
+        # Oracled contract: MLlib LDA weights are seed/partition-dependent,
+        # but on a 3-disjoint-vocabulary corpus the RECOVERY verdict is
+        # deterministic — k=3 must concentrate each topic's top-term mass
+        # in one vocabulary group and cover all 3 groups.
+        from graphchi_cpp_spark.operators.topics import lda_topic_recovery
+
+        return lda_topic_recovery(spark)
 
     _SUBGRAPH_SEEDS = (
         f"SELECT id FROM (SELECT src AS id FROM ({BIPARTITE_EDGES_SQL}) "
@@ -1325,17 +1328,26 @@ def _register_windows():
             "feature", F.round("mu", 4).alias("mu"), F.round("sigma2", 4).alias("sigma2")
         )
 
-    @query("als_ml_rmse")  # MLlib blocked ALS — rows-only check
+    @query("als_ml_rmse", "SELECT 1 AS ml_within_eps")
     def q_als_ml(spark, sf_dir):
+        # Oracled contract: MLlib's blocked ALS is seed/partitioning-
+        # dependent, so its raw RMSE can't be SQL-twinned — but it MUST
+        # land within eps of the fully-oracled native M1 ALS on the same
+        # ratings (same d, iterations, reg). Measured delta at sf0.01 is
+        # ~0.01; eps=0.05 absorbs partitioning jitter without ever
+        # passing a diverged fit.
+        from graphchi_cpp_spark.cf.als import als
         from graphchi_cpp_spark.cf.als_ml import als_ml
-        from graphchi_cpp_spark.datasets import ratings
 
-        _, _, preds = als_ml(_ratings(spark, sf_dir), d=4, iterations=5)
-        return preds.agg(
-            F.round(
-                F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))), 4
-            ).alias("rmse")
-        )
+        r = _ratings(spark, sf_dir)
+        _, _, preds = als_ml(r, d=4, iterations=5)
+        rmse_ml = preds.agg(
+            F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2)))
+        ).collect()[0][0]
+        _, _, hist = als(r, d=4, iterations=5)
+        rmse_native = hist[-1]["train_rmse"]
+        ok = 1 if abs(rmse_ml - rmse_native) <= 0.05 else 0
+        return spark.createDataFrame([(ok,)], "ml_within_eps int")
 
 
 _register_core()

@@ -77,12 +77,22 @@ def main():
 
     qs = entrymod.queries()
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Iterative queries (multi-superstep driver loops) showed round-over-
+    # round wall drift with unchanged plans (pagerank 6.24→8.19s r4→r6);
+    # host variance is documented at up to 3×. Min-of-3 minimum on this
+    # set so the reported number is the query, not the host.
+    iterative = {
+        "pagerank", "wcc", "wcc_star", "scc", "kcores",
+        "lpa_communities", "streaming_pagerank",
+    }
     timings: dict[str, float] = {}
     metrics: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
+        q_runs = max(n_runs, 3) if name in iterative else n_runs
         # Per-query fault isolation: one broken query must not destroy the
         # round's timings (r3 lost the whole bench to one AnalysisException).
         # Min-of-N because single-run walls at sf0.1 are cold/warm-noise
@@ -95,7 +105,7 @@ def main():
         runs: list[float] = []
         rows = None
         try:
-            for _ in range(n_runs):
+            for _ in range(q_runs):
                 entrymod._MEMO.clear()
                 entrymod._MEMO.update(memo_before)
                 t0 = time.time()
@@ -107,7 +117,14 @@ def main():
             metrics[name] = {"err": errors[name], "runs": runs}
             continue
         timings[name] = min(runs)
-        metrics[name] = {"wall_sec": min(runs), "runs": runs, "rows": rows}
+        # spread = (max-min)/min as %, the honest per-query noise figure
+        spread[name] = round(100.0 * (max(runs) - min(runs)) / min(runs), 1)
+        metrics[name] = {
+            "wall_sec": min(runs),
+            "runs": runs,
+            "spread_pct": spread[name],
+            "rows": rows,
+        }
 
     total = round(sum(timings.values()), 3)
     # C14-lite metrics reporter (reference src/metrics/metrics.hpp:165
@@ -135,6 +152,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_pct": spread,
+                "n_runs": n_runs,
                 "errors": errors,
                 "sf": sf,
             }

@@ -72,3 +72,69 @@ def lda_topics(
         "doc_id", F.col("topicDistribution").alias("topic_distribution")
     )
     return topics, doc_topics
+
+
+# --- oracled LDA recovery fixture (T3 correctness contract) ---------------
+#
+# MLlib LDA's topic-term weights are seed- and partitioning-dependent, so
+# the documents-table run can only ever be rows-checked. The oracled
+# contract instead tests what the reference's CGS-LDA demo tests
+# (graphlab_toolkit_ports/lda/cgs_lda.cpp — topics become readable word
+# clusters): on a corpus whose documents draw from 3 DISJOINT
+# vocabularies, a k=3 fit must recover the partition — each topic's
+# top-term weight mass concentrated in one vocabulary group, all 3 groups
+# covered. That verdict is deterministic even though the weights aren't.
+
+LDA_FIXTURE_VOCAB: tuple[tuple[str, ...], ...] = (
+    ("alpha", "bravo", "charlie", "delta", "echo", "foxtrot"),
+    ("golf", "hotel", "india", "juliett", "kilo", "lima"),
+    ("mike", "november", "oscar", "papa", "quebec", "romeo"),
+)
+
+
+def lda_separable_corpus(
+    spark, docs_per_group: int = 30, doc_len: int = 12
+) -> DataFrame:
+    """Deterministic corpus of 3 disjoint-vocabulary groups: doc i
+    belongs to group i % 3 and cycles through that group's terms with a
+    stride-7 offset (no RNG — reproducible across runs and hosts)."""
+    rows = []
+    for i in range(docs_per_group * 3):
+        v = LDA_FIXTURE_VOCAB[i % 3]
+        text = " ".join(v[(i * 7 + j) % len(v)] for j in range(doc_len))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def lda_topic_recovery(
+    spark, k: int = 3, max_iter: int = 20, seed: int = 42, purity: float = 0.9
+) -> DataFrame:
+    """Fit LDA on the separable corpus and report, per vocabulary group,
+    whether some topic's top-5 terms concentrate ≥ ``purity`` of their
+    weight mass in that group. Returns (grp, recovered) — all-1s when
+    the fit recovers the planted partition; DuckDB oracle is the
+    constant expected table."""
+    topics, _ = lda_topics(lda_separable_corpus(spark), k=k, max_iter=max_iter, seed=seed)
+    term_grp = {
+        t: g for g, vs in enumerate(LDA_FIXTURE_VOCAB) for t in vs
+    }
+    by_topic: dict[int, dict[int, float]] = {}
+    # bounded pull: ≤ k × 5 (topic, term, weight) rows
+    for r in topics.collect():
+        mass = by_topic.setdefault(r["topic"], {})
+        g = term_grp[r["term"]]
+        mass[g] = mass.get(g, 0.0) + r["weight"]
+    recovered: set[int] = set()
+    for mass in by_topic.values():
+        top_g = max(mass, key=lambda g: mass[g])
+        if mass[top_g] >= purity * sum(mass.values()):
+            recovered.add(top_g)
+    return spark.createDataFrame(
+        [(g, 1 if g in recovered else 0) for g in range(len(LDA_FIXTURE_VOCAB))],
+        "grp int, recovered int",
+    )
+
+
+LDA_RECOVERY_ORACLE_SQL = (
+    "SELECT * FROM (VALUES (0, 1), (1, 1), (2, 1)) AS t(grp, recovered)"
+)
