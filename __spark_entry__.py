@@ -275,6 +275,37 @@ def _register_cf():
             "item_a", "item_b", F.round("sim", 6).alias("sim")
         )
 
+    from graphchi_cpp_spark.cf.itemcf import (
+        edge_jaccard_weight,
+        edge_jaccard_weight_sql,
+    )
+
+    # items offset into their own vertex space (reference MM bipartite
+    # convention: users 1..M, items M+1..M+N) so degrees never merge
+    _RATINGS_EDGES_SQL = (
+        f'SELECT "user" AS src, item + 1000000 AS dst, rating AS weight '
+        f"FROM ({RATINGS_SQL})"
+    )
+
+    @query(
+        "edge_jaccard_weight",
+        f"""
+        SELECT item_a, item_b, round(sim, 6) AS sim
+        FROM ({edge_jaccard_weight_sql(_RATINGS_EDGES_SQL)})
+        """,
+    )
+    def q_edge_jaccard_weight(spark, sf_dir):
+        # itemcf3 --distance=9 (JACCARD_WEIGHT): direct-edge weighted
+        # Jaccard over the ratings bipartite graph
+        edges = _ratings(spark, sf_dir).select(
+            F.col("user").alias("src"),
+            (F.col("item") + 1000000).alias("dst"),
+            F.col("rating").alias("weight"),
+        )
+        return edge_jaccard_weight(edges).select(
+            "item_a", "item_b", F.round("sim", 6).alias("sim")
+        )
+
     @query(
         "itemcf_adamic_adar",
         f"""

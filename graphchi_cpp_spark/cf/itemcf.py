@@ -76,18 +76,21 @@ def item_similarity(
         marked = ui.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
             eager=True
         )
-        n_capped = (
-            marked.filter(F.col("_rn") > max_user_degree)
-            .select("user")
-            .distinct()
-            .count()
-        )
-        if n_capped:
-            log.info(
-                "item_similarity: capped %d power user(s) at degree %d",
-                n_capped,
-                max_user_degree,
+        # the capped-user count is a full extra job over the matrix —
+        # only pay for it when INFO logging will actually surface it
+        if log.isEnabledFor(logging.INFO):
+            n_capped = (
+                marked.filter(F.col("_rn") > max_user_degree)
+                .select("user")
+                .distinct()
+                .count()
             )
+            if n_capped:
+                log.info(
+                    "item_similarity: capped %d power user(s) at degree %d",
+                    n_capped,
+                    max_user_degree,
+                )
         ui = marked.filter(F.col("_rn") <= max_user_degree).drop("_rn")
     else:
         # materialized once: referenced by degrees AND both join sides
@@ -347,3 +350,70 @@ def itemcf_cv_sql(
             f"coalesce(round(avg(ap), {ndigits}), 0.0) AS mean_ap FROM ap{f}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def edge_jaccard_weight(edges: DataFrame) -> DataFrame:
+    """itemcf3's JACCARD_WEIGHT metric (``--distance=9``): for each
+    undirected weighted edge (a, b),
+
+        sim(a, b) = w(a, b) / (Σw(a) + Σw(b) − w(a, b))
+
+    where Σw(x) is x's weighted degree — the intersection is the DIRECT
+    edge weight, not a co-occurrence count
+    (``toolkits/collaborative_filtering/itemcf3.cpp:240``,
+    ``distance.hpp:67-80``). Input (src, dst, weight); output
+    (item_a, item_b, sim) with item_a > item_b, matching the
+    reference's output orientation (``unittest.sh:104-112``).
+
+    Scale: one groupBy per endpoint for weighted degrees + two
+    broadcast-or-shuffle hash joins back onto the edge list — linear in
+    |E|, no self-join."""
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("item_a"),
+            F.least("src", "dst").alias("item_b"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = edges.select(
+        F.col("src").alias("u"), F.col("weight").cast("double").alias("w")
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("u"), F.col("weight").cast("double").alias("w")
+        )
+    )
+    deg = sym.groupBy("u").agg(F.sum("w").alias("dw"))
+    return (
+        e.join(deg.select(F.col("u").alias("item_a"), F.col("dw").alias("da")), "item_a")
+        .join(deg.select(F.col("u").alias("item_b"), F.col("dw").alias("db")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            (F.col("w") / (F.col("da") + F.col("db") - F.col("w"))).alias("sim"),
+        )
+    )
+
+
+def edge_jaccard_weight_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``edge_jaccard_weight``."""
+    return f"""
+        WITH edges AS ({edges_sql}),
+        e AS (
+            SELECT greatest(src, dst) AS item_a, least(src, dst) AS item_b,
+                   sum(CAST(weight AS DOUBLE)) AS w
+            FROM edges GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT src AS u, CAST(weight AS DOUBLE) AS w FROM edges
+            UNION ALL
+            SELECT dst AS u, CAST(weight AS DOUBLE) AS w FROM edges
+        ),
+        deg AS (SELECT u, sum(w) AS dw FROM sym GROUP BY u)
+        SELECT e.item_a, e.item_b,
+               e.w / (da.dw + db.dw - e.w) AS sim
+        FROM e
+        JOIN deg da ON da.u = e.item_a
+        JOIN deg db ON db.u = e.item_b
+    """

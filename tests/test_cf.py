@@ -173,3 +173,91 @@ def test_als_recommend(spark):
     out = [(x["user"], x["item"]) for x in recs.collect()]
     assert (2, 11) in out  # only unseen pair
     assert len(out) == 1
+
+
+# --- golden parity against the reference's own unittest fixtures ---------
+
+_REF_UNITTEST = "/root/reference/toolkits/collaborative_filtering/unittest"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_UNITTEST),
+    reason="reference fixtures not present",
+)
+def test_itemcf_reference_golden(spark):
+    """Parity with the reference's own itemcf unit test (unittest.sh:89-95):
+    itemcf --min_allowed_intersection=2 on itemcf.unittest.graph must
+    produce exactly three 0.400000 similarities; the full expected set is
+    itemcf.unittest.graph-topk-correct (5 pairs)."""
+    from graphchi_cpp_spark.sources.matrix_market import read_matrix_market
+
+    r = read_matrix_market(spark, f"{_REF_UNITTEST}/itemcf.unittest.graph")
+    sims = item_similarity(r, metric="jaccard", min_common=2)
+    # reader is 0-based; reference output is 1-based with larger item first
+    got = {
+        (int(x["item_b"]) + 1, int(x["item_a"]) + 1): round(x["sim"], 6)
+        for x in sims.collect()
+    }
+    expected = {  # itemcf.unittest.graph-topk-correct, verbatim
+        (5, 4): 0.4,
+        (5, 3): 0.5,
+        (4, 3): 0.4,
+        (4, 1): 0.4,
+        (3, 1): 0.5,
+    }
+    assert got == expected
+    # the reference's own assertion: exactly three 0.400000 values
+    assert sum(1 for v in got.values() if v == 0.4) == 3
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_UNITTEST),
+    reason="reference fixtures not present",
+)
+def test_itemcf3_jaccard_weight_reference_golden(spark):
+    """Parity with the reference's itemcf3 unit test (unittest.sh:104-112):
+    --distance=9 (JACCARD_WEIGHT) on itemcf3.unittest.graph must produce
+    '2 1 0.6666' and '3 1 0.3333' (full expected set:
+    itemcf3.unittest.correct)."""
+    from graphchi_cpp_spark.cf.itemcf import edge_jaccard_weight
+    from graphchi_cpp_spark.sources.matrix_market import read_matrix_market
+
+    mm = read_matrix_market(spark, f"{_REF_UNITTEST}/itemcf3.unittest.graph")
+    edges = mm.select(
+        (F.col("user") + 1).alias("src"),
+        (F.col("item") + 1).alias("dst"),
+        F.col("rating").alias("weight"),
+    )
+    got = {
+        (int(x["item_a"]), int(x["item_b"])): round(x["sim"], 6)
+        for x in edge_jaccard_weight(edges).collect()
+    }
+    expected = {  # itemcf3.unittest.correct, verbatim
+        (2, 1): 0.666667,
+        (3, 1): 0.333333,
+        (5, 4): 1.0,
+        (7, 6): 1.0,
+    }
+    assert got == expected
+
+
+def test_edge_jaccard_weight_vs_duckdb(spark, sf_dir, duck):
+    from graphchi_cpp_spark.cf.itemcf import (
+        edge_jaccard_weight,
+        edge_jaccard_weight_sql,
+    )
+
+    edges = ratings(spark, sf_dir).select(
+        F.col("user").alias("src"),
+        F.col("item").alias("dst"),
+        F.col("rating").alias("weight"),
+    )
+    assert_df_matches_oracle(
+        edge_jaccard_weight(edges).select(
+            "item_a", "item_b", F.round("sim", 6).alias("sim")
+        ),
+        duck,
+        f"""SELECT item_a, item_b, round(sim, 6) AS sim FROM (
+            {edge_jaccard_weight_sql(f'SELECT "user" AS src, item AS dst, rating AS weight FROM ({RATINGS_SQL})')}
+        )""",
+    )
