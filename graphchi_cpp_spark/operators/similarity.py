@@ -40,9 +40,19 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    partial_buckets: int = 64,
 ) -> DataFrame:
     """(query_id, vec_id, cosine, rank) — exact brute-force top-k
-    neighbors (self excluded) for each query vector."""
+    neighbors (self excluded) for each query vector.
+
+    Scale: the QUERY side is the small one (a probe set against a
+    100 TB corpus), so queries are broadcast and the corpus stays
+    distributed — scoring is map-side over corpus partitions, no corpus
+    shuffle. Top-k then runs two-phase: partial top-k within
+    (query_id, corpus-hash-bucket) so no single window group ever holds
+    a whole corpus' scores for one query, then a final merge over the
+    ≤ k × partial_buckets survivors per query. For corpus-scale query
+    sets use ``lsh_topk`` / ``ivf_topk`` instead."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -52,7 +62,8 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     scored = (
-        q.crossJoin(F.broadcast(base))
+        F.broadcast(q)
+        .crossJoin(base)
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
@@ -62,7 +73,14 @@ def cosine_topk(
             ).alias("cosine"),
         )
     )
-    return top_k_per_key(scored, "query_id", "cosine", k, tiebreak_col="vec_id")
+    partial = top_k_per_key(
+        scored.withColumn("_b", F.pmod(F.col("vec_id"), F.lit(partial_buckets))),
+        ["query_id", "_b"],
+        "cosine",
+        k,
+        tiebreak_col="vec_id",
+    ).drop("_b", "rank")
+    return top_k_per_key(partial, "query_id", "cosine", k, tiebreak_col="vec_id")
 
 
 def cosine_topk_sql(
