@@ -236,10 +236,16 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = tokens(t)
     cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
+    # docs with < 2 tokens have NO bigrams — emit an empty gram list
+    # (not a synthesized single-token "bigram", which would report
+    # top_bigram_frac = 1.0 and wrongly trip downstream quality filters)
+    grams = F.when(
+        cnt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), cnt - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     per_tok = docs.select(
         "doc_id", F.explode(toks).alias("g")
     ).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
@@ -258,12 +264,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
     )
-    return tok_agg.join(bg_agg, "doc_id").select(
+    # left join + 0.0 defaults: bigram-less docs have zero repetition
+    return tok_agg.join(bg_agg, "doc_id", "left").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "dup_token_frac",
-        "dup_bigram_frac",
-        "top_bigram_frac",
+        F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
     )
 
 
@@ -284,10 +291,11 @@ def repetition_stats_sql(docs_sql: str = "documents") -> str:
         ),
         bgs AS (
             SELECT doc_id, unnest(list_transform(
-                range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+                range(1, len(string_split(text,' '))),
                 i -> array_to_string(string_split(text,' ')[i : i + 1], ' ')
             )) AS g
             FROM {docs_sql}
+            WHERE len(string_split(text, ' ')) >= 2
         ),
         per_bg AS (
             SELECT doc_id, g, count(*) AS c FROM bgs GROUP BY 1, 2
@@ -299,7 +307,8 @@ def repetition_stats_sql(docs_sql: str = "documents") -> str:
                    round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
             FROM per_bg GROUP BY doc_id
         )
-        SELECT doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
-               top_bigram_frac
-        FROM tok_agg JOIN bg_agg USING (doc_id)
+        SELECT doc_id, n_tokens, dup_token_frac,
+               coalesce(dup_bigram_frac, 0.0) AS dup_bigram_frac,
+               coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM tok_agg LEFT JOIN bg_agg USING (doc_id)
     """

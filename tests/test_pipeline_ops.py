@@ -281,6 +281,38 @@ def test_repetition_stats_planted(spark):
     assert got[2]["dup_bigram_frac"] == 0.0
 
 
+def test_repetition_stats_short_docs(spark, duck):
+    """Docs with < 2 tokens have no bigrams: bigram fracs must be 0.0
+    (not a synthesized single-token 'bigram' reporting 1.0), in both
+    engines."""
+    from graphchi_cpp_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    rows = [(1, "one"), (2, "two two"), (3, "solo")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 1
+    assert got[1]["dup_bigram_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[2]["dup_token_frac"] == 0.5  # sanity: >=2 tokens unaffected
+    duck.execute(
+        "CREATE OR REPLACE TABLE _short_docs AS SELECT * FROM (VALUES "
+        "(1, 'one'), (2, 'two two'), (3, 'solo')) t(doc_id, text)"
+    )
+    oracle = {
+        r[0]: r
+        for r in duck.execute(
+            repetition_stats_sql("_short_docs")
+        ).fetchall()
+    }
+    for d in (1, 2, 3):
+        assert round(got[d]["top_bigram_frac"], 6) == round(oracle[d][4], 6)
+        assert round(got[d]["dup_bigram_frac"], 6) == round(oracle[d][3], 6)
+
+
 def test_clean_corpus_filters_compose(spark):
     """Each pipeline stage knocks out exactly the planted offender:
     the exact duplicate, the low-quality fragment, the repetitive doc,

@@ -197,16 +197,18 @@ def test_repetition_stats_matches_python(spark_global, token_lists):
     for i, toks in enumerate(token_lists):
         tc = Counter(toks)
         n = len(toks)
-        grams = (
-            [" ".join(toks[j : j + 2]) for j in range(n - 1)]
-            if n > 1
-            else [toks[0]]
-        )
+        grams = [" ".join(toks[j : j + 2]) for j in range(n - 1)]
         gc_ = Counter(grams)
         r = got[i]
         assert r["n_tokens"] == n
         assert r["dup_token_frac"] == round((n - len(tc)) / n, 6)
-        assert r["dup_bigram_frac"] == round(
-            (len(grams) - len(gc_)) / len(grams), 6
-        )
-        assert r["top_bigram_frac"] == round(max(gc_.values()) / len(grams), 6)
+        if grams:
+            assert r["dup_bigram_frac"] == round(
+                (len(grams) - len(gc_)) / len(grams), 6
+            )
+            assert r["top_bigram_frac"] == round(
+                max(gc_.values()) / len(grams), 6
+            )
+        else:  # < 2 tokens: no bigrams, zero repetition by contract
+            assert r["dup_bigram_frac"] == 0.0
+            assert r["top_bigram_frac"] == 0.0
