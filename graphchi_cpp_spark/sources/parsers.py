@@ -334,3 +334,28 @@ def parse_consecutive_longs(
         .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), *others)
     )
     return out, src_map, dst_map
+
+
+def consecutive_matrix_market(
+    spark,
+    path: str,
+    single_domain: bool = False,
+    has_time: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """consecutive_matrix_market (``toolkits/parsers/
+    consecutive_matrix_market.cpp:66-180``) as a one-call compose of the
+    Matrix Market reader and ``parse_consecutive_longs``: read an MM (or
+    MM-headered delimited) file and relabel both id columns into
+    consecutive 0-based spaces — per-domain by default, one shared space
+    with ``single_domain=True`` (the reference's flag of the same name).
+    Returns (edges(src, dst, rating[, ts]), src_mapping, dst_mapping);
+    mappings are (orig, dense_id) dictionaries, identical objects in the
+    single-domain case."""
+    from graphchi_cpp_spark.sources.matrix_market import read_matrix_market
+
+    mm = read_matrix_market(spark, path, has_time=has_time)
+    extra = [c for c in mm.columns if c not in ("user", "item")]
+    edges = mm.select(
+        F.col("user").alias("src"), F.col("item").alias("dst"), *extra
+    )
+    return parse_consecutive_longs(edges, single_domain=single_domain)
