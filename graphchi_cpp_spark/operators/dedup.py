@@ -70,14 +70,21 @@ def exact_duplicates_sql(docs_sql: str = "documents") -> str:
 # --------------------------------------------------------------------- #
 # shingles + minhash signatures
 # --------------------------------------------------------------------- #
-def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, sh) — distinct md5-int hashes of word n-gram shingles."""
+def _gram_strings(text_col: str, n: int):
+    """Array column of word n-gram strings (kept single-level: nesting
+    more higher-order functions on top re-evaluates children per element
+    — measured 8× slower than explode-then-compute)."""
     toks = tokens(F.col(text_col))
     cnt = F.size(toks)
-    grams = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sh) — distinct md5-int hashes of word n-gram shingles."""
+    grams = _gram_strings(text_col, n)
     return (
         docs.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.pmod(md5_long(F.col("g")), F.lit(HASH_PRIME)).alias("sh"))
@@ -102,13 +109,10 @@ def shingle_hashes_sql(docs_sql: str = "documents", n: int = 3) -> str:
 def _shingle_hash_array(text_col: str, n: int):
     """Per-row array of shingle hashes (min is duplicate-insensitive, so
     no distinct needed)."""
-    toks = tokens(F.col(text_col))
-    cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    return F.transform(
+        _gram_strings(text_col, n),
+        lambda g: F.pmod(md5_long(g), F.lit(HASH_PRIME)),
     )
-    return F.transform(grams, lambda g: F.pmod(md5_long(g), F.lit(HASH_PRIME)))
 
 
 def minhash_columns(
@@ -235,29 +239,42 @@ def ngram_jaccard(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for the given candidate pairs."""
-    sh = shingle_hashes(docs, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
-    inter = (
-        pairs.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+    """(doc_a, doc_b, jaccard) for the given candidate pairs.
+
+    Scale shape: shingle sets are built ONLY for documents that appear
+    in a candidate pair (semi-join first), so verification cost is
+    proportional to |candidates|, not |corpus| — at a 100 TB corpus
+    with a sub-percent candidate rate this is the difference between
+    re-shingling everything and re-shingling almost nothing. The
+    intersection is a per-row ``array_intersect`` on the two docs'
+    shingle-set arrays (one collect_set shuffle, two bounded joins),
+    not a corpus-wide postings join."""
+    doc_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
-    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    sub = docs.join(doc_ids, "doc_id", "leftsemi")
+    grams = _gram_strings(text_col, n)
+    sets = (
+        sub.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id", F.pmod(md5_long(F.col("g")), F.lit(HASH_PRIME)).alias("sh")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sza, "doc_a")
-        .join(szb, "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.coalesce(F.col("c"), F.lit(0))
-                / (F.col("sa") + F.col("sb") - F.coalesce(F.col("c"), F.lit(0)))
+                inter / (F.size("sa") + F.size("sb") - inter)
             ).cast("double").alias("jaccard"),
         )
     )
@@ -535,7 +552,11 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """The full MinHash pipeline: LSH candidates verified by exact
     Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
-    cand = lsh_candidates(docs, text_col, n, bands, rows_per_band)
+    # candidates are output-bounded and referenced 3× downstream
+    # (doc_id semi-join ×2 + the final pair join) — materialize once
+    cand = lsh_candidates(docs, text_col, n, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
     j = ngram_jaccard(docs, cand, text_col, n)
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")

@@ -1,40 +1,112 @@
 """Throughput-scaling benchmark: PageRank / WCC / triangle edges-per-second
-on generated graphs of increasing size.
+and dedup docs-per-second on generated inputs of increasing size.
 
 The driver's sf0.1 bench is latency-dominated (sub-second equivalent work
 behind ~1s/job Spark overhead); this tool measures the quantity the
-BASELINE comparison is actually about — per-edge throughput once data
-dwarfs fixed costs — and how it scales with graph size on local[32].
+BASELINE comparison is actually about — per-edge / per-doc throughput
+once data dwarfs fixed costs — and how it scales on local[32].
+
+Each workload is timed SPARK_GRAFT_THROUGHPUT_RUNS times (default 3) and
+the MEDIAN is reported alongside every raw sample, so a single GC pause
+or JIT stall can't masquerade as the steady-state number.
 
 Usage: python tools/bench_throughput.py [n_edges ...]  (default 1M 10M)
+  SPARK_GRAFT_DOC_SIZES    comma list of dedup corpus sizes (default 30M;
+                           empty string skips the dedup section)
+  SPARK_GRAFT_THROUGHPUT_RUNS  repeats per workload (default 3)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from graphchi_cpp_spark.graph import PropertyGraph, erdos_renyi
 from graphchi_cpp_spark.session import get_spark
 
 
+def _reclaim(spark):
+    # drop superseded checkpoint blocks before timing the next workload:
+    # ContextCleaner only acts when the driver GCs
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+
+
+def timed(spark, fn, repeats: int) -> tuple[float, list[float]]:
+    """Median-of-N wall time with the raw samples. Every repeat re-executes
+    the full plan (inputs are eagerly checkpointed once, outside timing, so
+    repeats recompute the workload's own work honestly)."""
+    samples: list[float] = []
+    for _ in range(repeats):
+        _reclaim(spark)
+        t0 = time.time()
+        fn()
+        samples.append(round(time.time() - t0, 2))
+    return statistics.median(samples), samples
+
+
+def synthetic_docs(spark, n_docs: int, dup_frac: float = 0.1, tokens: int = 24,
+                   seed: int = 7):
+    """Deterministic (doc_id, text) corpus with a planted near-dup rate:
+    ~dup_frac of docs replay another doc's token stream with the final
+    token perturbed (Jaccard ≈ 21/23 at n=3 — above the 0.5 default
+    threshold), the rest are hash-unique. Pure codegen, no shuffle."""
+    base_n = max(1, int(n_docs * (1.0 - dup_frac)))
+    d = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(base_n)).alias("_base"),
+    )
+
+    def tok(j):
+        return F.conv(
+            F.abs(F.hash(F.col("_base"), F.lit(j), F.lit(seed))).cast("string"),
+            10, 36,
+        )
+
+    last = F.when(
+        F.col("doc_id") >= base_n,
+        F.conv(F.abs(F.hash("doc_id", F.lit(seed))).cast("string"), 10, 36),
+    ).otherwise(tok(tokens - 1))
+    text = F.concat_ws(" ", *[tok(j) for j in range(tokens - 1)], last)
+    return d.select("doc_id", text.alias("text"))
+
+
 def main():
     sizes = [int(float(s)) for s in sys.argv[1:]] or [1_000_000, 10_000_000]
+    doc_sizes = [
+        int(float(s))
+        for s in os.environ.get("SPARK_GRAFT_DOC_SIZES", "30000000").split(",")
+        if s.strip()
+    ]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_THROUGHPUT_RUNS", "3")))
     spark = get_spark("bench-throughput", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     # untimed JIT/codegen warmup (JMH convention): the first workload in
     # a fresh JVM otherwise pays compilation — measured 19.7s vs 16.0s
     # warm for 30M pagerank on identical plans
-    from graphchi_cpp_spark.algos.pagerank import pagerank as _pr_warm
+    from graphchi_cpp_spark.algos.connected_components import (
+        connected_components,
+        connected_components_star,
+    )
+    from graphchi_cpp_spark.algos.pagerank import pagerank
+    from graphchi_cpp_spark.algos.triangles import triangle_count
+    from graphchi_cpp_spark.cf.als import als
 
     warm = erdos_renyi(spark, 100_000, avg_degree=10, seed=7).localCheckpoint(
         eager=True
     )
-    _pr_warm(PropertyGraph(warm), max_iter=2).count()
+    pagerank(PropertyGraph(warm), max_iter=2).count()
+
     results = []
     for n_edges in sizes:
         n = max(1000, n_edges // 10)  # avg degree 10
@@ -44,39 +116,15 @@ def main():
         m = edges.count()
         g = PropertyGraph(edges)
 
-        def _reclaim():
-            # drop superseded checkpoint blocks before timing the next
-            # workload: ContextCleaner only acts when the driver GCs
-            import gc
-
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
-
-        _reclaim()
-        t0 = time.time()
-        from graphchi_cpp_spark.algos.pagerank import pagerank
-
-        pagerank(g, max_iter=3).count()
-        pr_s = time.time() - t0
-
-        _reclaim()
-        t0 = time.time()
-        from graphchi_cpp_spark.algos.connected_components import (
-            connected_components,
+        pr_s, pr_runs = timed(
+            spark, lambda: pagerank(g, max_iter=3).count(), repeats
         )
-
-        connected_components(g, max_iter=30).count()
-        cc_s = time.time() - t0
-
-        _reclaim()
-        t0 = time.time()
-        from graphchi_cpp_spark.algos.connected_components import (
-            connected_components_star,
+        cc_s, cc_runs = timed(
+            spark, lambda: connected_components(g, max_iter=30).count(), repeats
         )
-
-        connected_components_star(g).count()
-        ccs_s = time.time() - t0
+        ccs_s, ccs_runs = timed(
+            spark, lambda: connected_components_star(g).count(), repeats
+        )
 
         # triangle counting shuffles the full wedge set; the cap guards
         # scratch disk on small hosts (100M edges measured < 10G shuffle
@@ -84,22 +132,15 @@ def main():
         tri_cap = int(
             float(os.environ.get("SPARK_GRAFT_TRI_CAP_EDGES", 200_000_000))
         )
-        tri_s = None
+        tri_s, tri_runs = None, None
         if m <= tri_cap:
-            _reclaim()
-            t0 = time.time()
-            from graphchi_cpp_spark.algos.triangles import triangle_count
-
-            triangle_count(g).collect()
-            tri_s = time.time() - t0
+            tri_s, tri_runs = timed(
+                spark, lambda: triangle_count(g).collect(), repeats
+            )
 
         # ALS ratings-throughput (baseline row: 1.7M ratings/s/iter):
         # synthetic (user, item, rating) at the same row count, d=2
         # expression path, 3 iterations
-        from pyspark.sql import functions as F
-
-        from graphchi_cpp_spark.cf.als import als
-
         n_users, n_items = max(1000, m // 10), max(500, m // 100)
         ratings = (
             spark.range(m)
@@ -110,28 +151,78 @@ def main():
             )
             .localCheckpoint(eager=True)
         )
-        _reclaim()
-        t0 = time.time()
-        als(ratings, d=2, iterations=3)
-        als_s = time.time() - t0
+        als_s, als_runs = timed(
+            spark, lambda: als(ratings, d=2, iterations=3), repeats
+        )
 
         results.append(
             {
                 "n_edges": m,
-                "pagerank_3iter_s": round(pr_s, 2),
+                "runs_per_workload": repeats,
+                "pagerank_3iter_s": pr_s,
+                "pagerank_runs": pr_runs,
                 "pagerank_edges_per_s_per_iter": int(3 * m / pr_s),
-                "wcc_s": round(cc_s, 2),
+                "wcc_s": cc_s,
+                "wcc_runs": cc_runs,
                 "wcc_edges_per_s": int(m / cc_s),
-                "wcc_star_s": round(ccs_s, 2),
+                "wcc_star_s": ccs_s,
+                "wcc_star_runs": ccs_runs,
                 "wcc_star_edges_per_s": int(m / ccs_s),
-                "triangles_s": round(tri_s, 2) if tri_s else None,
-                "triangles_edges_per_s": int(m / tri_s) if tri_s else None,
-                "als_3iter_s": round(als_s, 2),
+                # `is not None`: a legitimately measured ~0.0s run must not
+                # be dropped by float truthiness
+                "triangles_s": tri_s if tri_s is not None else None,
+                "triangles_runs": tri_runs,
+                "triangles_edges_per_s": (
+                    int(m / tri_s) if tri_s is not None and tri_s > 0 else None
+                ),
+                "als_3iter_s": als_s,
+                "als_runs": als_runs,
                 "als_ratings_per_s_per_iter": int(3 * m / als_s),
             }
         )
+        edges.unpersist()
+        ratings.unpersist()
         print(json.dumps(results[-1]))
-    print(json.dumps({"throughput_scaling": results}))
+
+    # ------------------------------------------------------------------ #
+    # Dedup throughput: the 100 TB story's workhorse operators, measured
+    # in docs/s on a planted-near-dup corpus (they are absent from
+    # BASELINE.md, so these rows ground the scale claims in a number).
+    # ------------------------------------------------------------------ #
+    from graphchi_cpp_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_dedup,
+    )
+
+    dedup_results = []
+    for n_docs in doc_sizes:
+        docs = synthetic_docs(spark, n_docs).localCheckpoint(eager=True)
+        docs.count()
+        mh_s, mh_runs = timed(
+            spark, lambda: minhash_dedup_pairs(docs).count(), repeats
+        )
+        ng_s, ng_runs = timed(
+            spark, lambda: ngram_jaccard_dedup(docs).count(), repeats
+        )
+        dedup_results.append(
+            {
+                "n_docs": n_docs,
+                "runs_per_workload": repeats,
+                "minhash_dedup_s": mh_s,
+                "minhash_dedup_runs": mh_runs,
+                "minhash_docs_per_s": int(n_docs / mh_s),
+                "ngram_jaccard_dedup_s": ng_s,
+                "ngram_jaccard_dedup_runs": ng_runs,
+                "ngram_jaccard_docs_per_s": int(n_docs / ng_s),
+            }
+        )
+        docs.unpersist()
+        print(json.dumps(dedup_results[-1]))
+
+    print(json.dumps({
+        "throughput_scaling": results,
+        "dedup_throughput": dedup_results,
+    }))
 
 
 if __name__ == "__main__":

@@ -46,7 +46,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    n_pass = n_fail = 0
+    # three buckets, reported separately: a rows-only query is NOT a
+    # hash-verified pass and must not inflate n_pass
+    n_pass = n_rows_only = n_fail = 0
     results: dict[str, dict] = {}
 
     def record(name, *, rows_match=None, schema_match=None, hash_match=None,
@@ -75,7 +77,7 @@ def main():
             print(f"ok   {name}: rows={len(sdf)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
             record(name, spark_rows=len(sdf), err="no_oracle")
-            n_pass += 1
+            n_rows_only += 1
             continue
         try:
             ddf = con.execute(oracles[name]).df()
@@ -120,10 +122,11 @@ def main():
             os.path.abspath(__file__))), "CORRECTNESS_local.json")
         with open(out, "w") as f:
             json.dump({"sf_dir": sf_dir, "unix_time": int(time.time()),
-                       "n_pass": n_pass, "n_fail": n_fail,
-                       "queries": results}, f, indent=2)
+                       "n_pass": n_pass, "n_rows_only": n_rows_only,
+                       "n_fail": n_fail, "queries": results}, f, indent=2)
         print(f"wrote {out}")
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(f"\n{n_pass} hash-verified, {n_rows_only} rows-only, "
+          f"{n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
 
