@@ -21,18 +21,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from graphchi_cpp_spark.session import get_spark
 
+# the 10 most expensive BENCH queries (descending r6/r7 cost) first,
+# then the rest of the headline set
 AUDIT = [
+    "triangle_count",
+    "itemsim2rating",
+    "msf",
+    "ngram_jaccard_dedup",
     "pagerank",
+    "scc",
+    "wcc",
+    "als_rmse_history",
+    "als_coord_rmse_history",
+    "streaming_pagerank",
+    "itemcf_jaccard",
+    "minhash_dedup",
     "degree_distribution",
     "topk_per_user",
-    "triangle_count",
-    "itemcf_jaccard",
     "minhash_lsh_candidates",
     "simhash",
     "ann_lsh_topk",
+    "ann_cosine_topk",
     "token_stats",
     "events_hourly",
-    "ngram_jaccard_dedup",
     "sessionize",
     "ann_ivf_topk",
     "repetition_stats",
