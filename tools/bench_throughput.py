@@ -14,6 +14,7 @@ Usage: python tools/bench_throughput.py [n_edges ...]  (default 1M 10M)
   SPARK_GRAFT_DOC_SIZES    comma list of dedup corpus sizes (default 30M;
                            empty string skips the dedup section)
   SPARK_GRAFT_THROUGHPUT_RUNS  repeats per workload (default 3)
+  SPARK_GRAFT_SECTIONS     comma subset of graph,dedup,shard (default all)
 """
 
 from __future__ import annotations
@@ -34,9 +35,15 @@ from graphchi_cpp_spark.session import get_spark
 
 def _reclaim(spark):
     # drop superseded checkpoint blocks before timing the next workload:
-    # ContextCleaner only acts when the driver GCs
+    # ContextCleaner only acts when the driver GCs. Also clear the SQL
+    # plan cache: workloads that .cache() internally (pagerank's
+    # co-partitioned edges, triangle orientation) would otherwise get
+    # plan-cache HITS on repeat runs and skip the graph-load phase the
+    # BASELINE numbers include — measured 36.5s -> 1.1s "repeats" at 30M
+    # edges, which is steady-state-iteration time, not the contract.
     import gc
 
+    spark.catalog.clearCache()
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
@@ -89,6 +96,9 @@ def main():
         if s.strip()
     ]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_THROUGHPUT_RUNS", "3")))
+    sections = set(
+        os.environ.get("SPARK_GRAFT_SECTIONS", "graph,dedup,shard").split(",")
+    )
     spark = get_spark("bench-throughput", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     # untimed JIT/codegen warmup (JMH convention): the first workload in
@@ -108,7 +118,7 @@ def main():
     pagerank(PropertyGraph(warm), max_iter=2).count()
 
     results = []
-    for n_edges in sizes:
+    for n_edges in sizes if "graph" in sections else []:
         n = max(1000, n_edges // 10)  # avg degree 10
         edges = erdos_renyi(spark, n, avg_degree=10, seed=42).localCheckpoint(
             eager=True
@@ -195,7 +205,7 @@ def main():
     )
 
     dedup_results = []
-    for n_docs in doc_sizes:
+    for n_docs in doc_sizes if "dedup" in sections else []:
         docs = synthetic_docs(spark, n_docs).localCheckpoint(eager=True)
         docs.count()
         mh_s, mh_runs = timed(
@@ -219,9 +229,65 @@ def main():
         docs.unpersist()
         print(json.dumps(dedup_results[-1]))
 
+    # ------------------------------------------------------------------ #
+    # Sharding-ingest analog (BASELINE row: 2.5M edges/s — text edge list
+    # -> dst-interval shards). Ours: text edge list -> bucketed+sorted
+    # parquet table, the write-once/co-located-forever equivalent.
+    # The raw text is written once, untimed (the reference numbers also
+    # exclude the crawl that produced the input file).
+    # ------------------------------------------------------------------ #
+    shard_results = []
+    if "shard" in sections:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from graphchi_cpp_spark.sources.bucketed import write_bucketed_edges
+
+        tmp = tempfile.mkdtemp(prefix="shard_src_")
+        for n_edges in sizes:
+            n = max(1000, n_edges // 10)
+            edges = erdos_renyi(spark, n, avg_degree=10, seed=42)
+            src_dir = os.path.join(tmp, f"e{n_edges}")
+            (
+                edges.select(
+                    F.concat_ws(" ", F.col("src"), F.col("dst")).alias("value")
+                ).write.mode("overwrite").text(src_dir)
+            )
+            m = None
+
+            def ingest():
+                nonlocal m
+                schema = T.StructType(
+                    [
+                        T.StructField("src", T.LongType()),
+                        T.StructField("dst", T.LongType()),
+                    ]
+                )
+                raw = spark.read.csv(src_dir, sep=" ", schema=schema)
+                write_bucketed_edges(raw, "shard_bench", buckets=32, key="dst")
+                m = spark.table("shard_bench").count()
+
+            sh_s, sh_runs = timed(spark, ingest, repeats)
+            shard_results.append(
+                {
+                    "n_edges": m,
+                    "runs_per_workload": repeats,
+                    "shard_ingest_s": sh_s,
+                    "shard_ingest_runs": sh_runs,
+                    "shard_ingest_edges_per_s": int(m / sh_s),
+                }
+            )
+            print(json.dumps(shard_results[-1]))
+            import shutil
+
+            shutil.rmtree(src_dir, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS shard_bench")
+
     print(json.dumps({
         "throughput_scaling": results,
         "dedup_throughput": dedup_results,
+        "shard_ingest": shard_results,
     }))
 
 
