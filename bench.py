@@ -108,6 +108,12 @@ def main():
             for _ in range(q_runs):
                 entrymod._MEMO.clear()
                 entrymod._MEMO.update(memo_before)
+                # queries that .cache() internally (pagerank's
+                # co-partitioned edges) would get plan-cache HITS on
+                # repeats and skip their load phase — clear so every
+                # run does identical work (_MEMO sharing is checkpoint-
+                # based and unaffected)
+                spark.catalog.clearCache()
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 rows = df.count()

@@ -75,14 +75,21 @@ def synthetic_docs(spark, n_docs: int, dup_frac: float = 0.1, tokens: int = 24,
     )
 
     def tok(j):
+        # cast BEFORE abs: hash() returns int and abs(INT_MIN) overflows
+        # under ANSI mode (bites ~1 row in 4B — i.e. reliably at 30M docs
+        # × 24 tokens)
         return F.conv(
-            F.abs(F.hash(F.col("_base"), F.lit(j), F.lit(seed))).cast("string"),
+            F.abs(F.hash(F.col("_base"), F.lit(j), F.lit(seed)).cast("long"))
+            .cast("string"),
             10, 36,
         )
 
     last = F.when(
         F.col("doc_id") >= base_n,
-        F.conv(F.abs(F.hash("doc_id", F.lit(seed))).cast("string"), 10, 36),
+        F.conv(
+            F.abs(F.hash("doc_id", F.lit(seed)).cast("long")).cast("string"),
+            10, 36,
+        ),
     ).otherwise(tok(tokens - 1))
     text = F.concat_ws(" ", *[tok(j) for j in range(tokens - 1)], last)
     return d.select("doc_id", text.alias("text"))
