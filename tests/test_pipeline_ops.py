@@ -130,6 +130,35 @@ def test_minhash_finds_planted_near_dup(spark):
     assert 0.3 < j < 1.0
 
 
+def test_ngram_jaccard_scores_unaffected_by_noncandidate_docs(spark):
+    # verification semi-joins the corpus down to docs appearing in a pair:
+    # adding unrelated corpus docs must not change any reported jaccard,
+    # and a zero-overlap pair must score 0.0 (not drop out)
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "p q r s t u v w"),
+    ]
+    noise = [(100 + i, f"noise{i} filler{i} words{i} here{i}") for i in range(20)]
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    small = spark.createDataFrame(rows, ["doc_id", "text"])
+    big = spark.createDataFrame(rows + noise, ["doc_id", "text"])
+    j_small = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard(small, pairs).collect()
+    }
+    j_big = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard(big, pairs).collect()
+    }
+    assert j_small == j_big
+    assert j_big[(1, 3)] == 0.0
+    assert 0.0 < j_big[(1, 2)] < 1.0
+    # pairs referencing a doc absent from the corpus are dropped, not nulled
+    ghost = spark.createDataFrame([(1, 999)], ["doc_a", "doc_b"])
+    assert ngram_jaccard(small, ghost).count() == 0
+
+
 def test_ngram_jaccard_dedup_vs_duckdb(spark, sf_dir, duck):
     # registered contract: default max_df pruning on both engines
     assert_df_matches_oracle(

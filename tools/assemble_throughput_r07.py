@@ -1,0 +1,90 @@
+"""One-shot assembler for THROUGHPUT_r07.json from the round-7 run logs.
+
+Methodology note baked into the artifact: every workload is timed 3×
+with spark.catalog.clearCache() + checkpoint-reclaim between runs
+(identical work per run, no plan-cache hits), and the MEDIAN is
+reported with all raw samples. Graph rows ran at 48g driver heap,
+dedup/shard rows at 80g, local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def rows(path: str) -> list[dict]:
+    out = []
+    with open(path, errors="replace") as f:
+        text = f.read().replace("\r", "\n")
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                out.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
+def main():
+    graph_log, ds_log, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    graph = [r for r in rows(graph_log) if "pagerank_3iter_s" in r]
+    ds = rows(ds_log)
+    # per-op incremental prints: keep the most complete row per n_docs
+    dedup: dict[int, dict] = {}
+    for r in ds:
+        if "n_docs" in r:
+            cur = dedup.get(r["n_docs"], {})
+            if len(r) >= len(cur):
+                dedup[r["n_docs"]] = r
+    shard = [r for r in ds if "shard_ingest_s" in r]
+    baseline = {
+        "pagerank_edges_per_s_per_iter": 5_800_000,
+        "triangles_edges_per_s": 450_000,
+        "als_ratings_per_s_per_iter": 1_700_000,
+        "shard_ingest_edges_per_s": 2_500_000,
+    }
+    vs = {}
+    for row in graph:
+        tag = f"{row['n_edges']//1_000_000}M"
+        for k, b in baseline.items():
+            if row.get(k):
+                vs[f"{k}@{tag}"] = round(row[k] / b, 2)
+    for row in shard:
+        tag = f"{row['n_edges']//1_000_000}M"
+        vs[f"shard_ingest_edges_per_s@{tag}"] = round(
+            row["shard_ingest_edges_per_s"] / baseline["shard_ingest_edges_per_s"], 2
+        )
+    art = {
+        "round": 7,
+        "method": (
+            "median of 3 runs per workload; spark.catalog.clearCache() + "
+            "checkpoint reclaim between runs so repeats do identical work "
+            "(no plan-cache hits on internally-cached inputs); raw samples "
+            "included. local[32]; graph rows 48g driver heap, dedup/shard "
+            "80g. Dedup corpus: synthetic 24-token docs, 10% planted "
+            "near-dups (tools/bench_throughput.py synthetic_docs)."
+        ),
+        "throughput_scaling": graph,
+        "dedup_throughput": sorted(dedup.values(), key=lambda r: r["n_docs"]),
+        "shard_ingest": shard,
+        "vs_baseline_x": vs,
+        "notes": (
+            "30M-doc exact-ngram dedup OOMs a 48g single-JVM heap (660M "
+            "shingle postings + window df-annotation); 10M docs is the "
+            "largest single-host corpus for that path here — on a real "
+            "cluster the same plan spreads postings across executors. "
+            "minhash run samples show a strong warm-up trend; medians "
+            "reported, all samples retained."
+        ),
+    }
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=2)
+    print(json.dumps(vs, indent=2))
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

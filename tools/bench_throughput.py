@@ -215,26 +215,23 @@ def main():
     for n_docs in doc_sizes if "dedup" in sections else []:
         docs = synthetic_docs(spark, n_docs).localCheckpoint(eager=True)
         docs.count()
-        mh_s, mh_runs = timed(
-            spark, lambda: minhash_dedup_pairs(docs).count(), repeats
-        )
-        ng_s, ng_runs = timed(
-            spark, lambda: ngram_jaccard_dedup(docs).count(), repeats
-        )
-        dedup_results.append(
-            {
-                "n_docs": n_docs,
-                "runs_per_workload": repeats,
-                "minhash_dedup_s": mh_s,
-                "minhash_dedup_runs": mh_runs,
-                "minhash_docs_per_s": int(n_docs / mh_s),
-                "ngram_jaccard_dedup_s": ng_s,
-                "ngram_jaccard_dedup_runs": ng_runs,
-                "ngram_jaccard_docs_per_s": int(n_docs / ng_s),
-            }
-        )
+        row = {"n_docs": n_docs, "runs_per_workload": repeats}
+        # one op per row-chunk, printed immediately and isolated: an OOM
+        # in the second op must not lose the first op's finished runs
+        for key, fn in (
+            ("minhash_dedup", lambda: minhash_dedup_pairs(docs).count()),
+            ("ngram_jaccard_dedup", lambda: ngram_jaccard_dedup(docs).count()),
+        ):
+            try:
+                s, runs = timed(spark, fn, repeats)
+                row[f"{key}_s"] = s
+                row[f"{key}_runs"] = runs
+                row[f"{key}_docs_per_s"] = int(n_docs / s)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                row[f"{key}_error"] = f"{type(exc).__name__}"[:120]
+            print(json.dumps({k: v for k, v in row.items()}))
+        dedup_results.append(row)
         docs.unpersist()
-        print(json.dumps(dedup_results[-1]))
 
     # ------------------------------------------------------------------ #
     # Sharding-ingest analog (BASELINE row: 2.5M edges/s — text edge list
