@@ -17,7 +17,7 @@ Scale design (the point of these at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from graphchi_cpp_spark.operators.text import (
     HASH_PRIME,
@@ -301,10 +301,18 @@ def ngram_jaccard_dedup(
     shingles dominate cost; ``max_df`` (ON by default,
     ``DEFAULT_MAX_SHINGLE_DF``) prunes shingles whose document frequency
     exceeds it from candidate generation (stop-shingle removal — the
-    join bound becomes Σ over retained shingles only). The pruned
-    self-join ALSO yields each candidate's intersection count over
-    retained shingles for free; exactness is restored by adding only
-    the pruned shingles' contribution — candidates joined against the
+    join bound becomes Σ over retained shingles only). The stop set is
+    tiny BY CONSTRUCTION (≤ |postings| / max_df shingles), so it is
+    computed with one map-side-combined aggregate and BROADCAST: the
+    kept postings are a broadcast anti-join (no shuffle of the postings
+    table, and no window over partitionBy(sh), which would sort exactly
+    the skewed hub-shingle groups pruning exists to remove). When no
+    shingle exceeds max_df — the common case at moderate corpus sizes —
+    the plan short-circuits to the exhaustive single self-join, making
+    the default pruning free. Otherwise the pruned self-join yields each
+    candidate's intersection count over retained shingles for free, and
+    exactness is restored by adding only the pruned shingles'
+    contribution — candidates joined against the (broadcast-semi-joined)
     df>max_df postings on both sides, a join bounded by
     |candidates| × (pruned shingles per doc), typically a handful —
     rather than re-expanding every candidate against the full table.
@@ -312,56 +320,31 @@ def ngram_jaccard_dedup(
     batching (toolkits/collaborative_filtering/itemcf.cpp:206)."""
     sh = shingle_hashes(docs, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    if max_df is None:
-        inter = (
+
+    def exhaustive_inter() -> DataFrame:
+        return (
             sh.select(F.col("doc_id").alias("doc_a"), "sh")
             .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("c"))
         )
+
+    if max_df is None:
+        inter = exhaustive_inter()
     else:
-        # annotate each posting with its shingle's df in ONE shuffle
-        # (window over partitionBy(sh)); the downstream self-join on sh
-        # reuses that hash partitioning, so pruning costs a filter, not
-        # a join against the keep set
-        ann = sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("sh"))
+        stop = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+            .localCheckpoint(eager=True)
         )
-        postings = ann.filter(F.col("df") <= max_df).select("doc_id", "sh")
-        # the candidate self-join already computes each pair's
-        # intersection count over RETAINED shingles — keep it
-        c_kept = (
-            postings.select(F.col("doc_id").alias("doc_a"), "sh")
-            .join(postings.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("c_kept"))
-        )
-        # exactness delta: only the PRUNED (df > max_df) shingles'
-        # postings, joined against candidates on both sides — bounded
-        # by |candidates| × (pruned shingles per doc), not the full table
-        dropped_postings = ann.filter(F.col("df") > max_df).select(
-            "doc_id", "sh"
-        )
-        c_drop = (
-            c_kept.select("doc_a", "doc_b")
-            .join(
-                dropped_postings.select(F.col("doc_id").alias("doc_a"), "sh"),
-                "doc_a",
-            )
-            .join(
-                dropped_postings.select(F.col("doc_id").alias("doc_b"), "sh"),
-                ["doc_b", "sh"],
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("c_drop"))
-        )
-        inter = c_kept.join(c_drop, ["doc_a", "doc_b"], "left").select(
-            "doc_a",
-            "doc_b",
-            (F.col("c_kept") + F.coalesce(F.col("c_drop"), F.lit(0))).alias("c"),
-        )
+        if stop.isEmpty():
+            # no stop shingles: the pruned plan IS the exhaustive plan
+            inter = exhaustive_inter()
+        else:
+            inter = _pruned_inter(sh, stop)
     sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
     szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
     return (
@@ -375,6 +358,44 @@ def ngram_jaccard_dedup(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _pruned_inter(sh: DataFrame, stop: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, c) exact intersection counts with stop-shingle
+    pruned candidate generation: c_kept from the pruned self-join plus
+    the dropped shingles' delta. ``stop`` must be small (broadcast)."""
+    postings = sh.join(F.broadcast(stop), "sh", "left_anti")
+    # the candidate self-join already computes each pair's
+    # intersection count over RETAINED shingles — keep it
+    c_kept = (
+        postings.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(postings.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c_kept"))
+    )
+    # exactness delta: only the PRUNED (df > max_df) shingles'
+    # postings, joined against candidates on both sides — bounded
+    # by |candidates| × (pruned shingles per doc), not the full table
+    dropped_postings = sh.join(F.broadcast(stop), "sh", "left_semi")
+    c_drop = (
+        c_kept.select("doc_a", "doc_b")
+        .join(
+            dropped_postings.select(F.col("doc_id").alias("doc_a"), "sh"),
+            "doc_a",
+        )
+        .join(
+            dropped_postings.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c_drop"))
+    )
+    return c_kept.join(c_drop, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("c_kept") + F.coalesce(F.col("c_drop"), F.lit(0))).alias("c"),
     )
 
 
@@ -395,17 +416,22 @@ def ngram_jaccard_dedup_sql(
         )"""
     else:
         inter = f"""
-        ann AS (
-            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
-            FROM sh
+        stop AS (
+            SELECT sh FROM sh GROUP BY sh HAVING count(*) > {max_df}
         ),
-        p AS (SELECT doc_id, sh FROM ann WHERE df <= {max_df}),
+        p AS (
+            SELECT doc_id, sh FROM sh
+            WHERE sh NOT IN (SELECT sh FROM stop)
+        ),
         c_kept AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_kept
             FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
-        dp AS (SELECT doc_id, sh FROM ann WHERE df > {max_df}),
+        dp AS (
+            SELECT doc_id, sh FROM sh
+            WHERE sh IN (SELECT sh FROM stop)
+        ),
         c_drop AS (
             SELECT k.doc_a, k.doc_b, count(*) AS c_drop
             FROM c_kept k

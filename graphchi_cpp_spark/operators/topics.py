@@ -107,23 +107,52 @@ def lda_separable_corpus(
 
 
 def lda_topic_recovery(
-    spark, k: int = 3, max_iter: int = 20, seed: int = 42, purity: float = 0.9
+    spark, k: int = 3, max_iter: int = 30, seed: int = 42, purity: float = 0.9
 ) -> DataFrame:
     """Fit LDA on the separable corpus and report, per vocabulary group,
     whether some topic's top-5 terms concentrate ≥ ``purity`` of their
     weight mass in that group. Returns (grp, recovered) — all-1s when
     the fit recovers the planted partition; DuckDB oracle is the
-    constant expected table."""
-    topics, _ = lda_topics(lda_separable_corpus(spark), k=k, max_iter=max_iter, seed=seed)
+    constant expected table.
+
+    Determinism: the general ``lda_topics`` path is NOT run-stable on
+    this fixture — all 18 terms have identical global counts, so
+    CountVectorizer's frequency-ordered vocabulary is tie-broken by
+    shuffle order, and the online optimizer subsamples ~5 of 90 docs per
+    iteration; both perturb the fit across runs. The contract fixture
+    instead vectorizes against the FIXED declared vocabulary order, runs
+    the full-batch EM optimizer, and coalesces to one partition so the
+    seeded init is partitioning-independent — same verdict every run."""
+    try:
+        from pyspark.ml.clustering import LDA
+        from pyspark.ml.linalg import Vectors
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml unavailable") from e
+
+    vocab = [t for vs in LDA_FIXTURE_VOCAB for t in vs]
+    vidx = {t: i for i, t in enumerate(vocab)}
+    corpus = lda_separable_corpus(spark)
+    # bounded pull: the fixture is 90 12-token docs by construction
+    vec_rows = []
+    for r in corpus.collect():
+        counts: dict[int, float] = {}
+        for t in r["text"].split(" "):
+            counts[vidx[t]] = counts.get(vidx[t], 0.0) + 1.0
+        vec_rows.append((r["doc_id"], Vectors.sparse(len(vocab), counts)))
+    vec = spark.createDataFrame(vec_rows, ["doc_id", "_features"]).coalesce(1)
+    model = LDA(
+        k=k, maxIter=max_iter, seed=seed, optimizer="em", featuresCol="_features"
+    ).fit(vec)
     term_grp = {
         t: g for g, vs in enumerate(LDA_FIXTURE_VOCAB) for t in vs
     }
     by_topic: dict[int, dict[int, float]] = {}
-    # bounded pull: ≤ k × 5 (topic, term, weight) rows
-    for r in topics.collect():
+    # bounded pull: ≤ k × 5 (topic, termIndices, termWeights) rows
+    for r in model.describeTopics(5).collect():
         mass = by_topic.setdefault(r["topic"], {})
-        g = term_grp[r["term"]]
-        mass[g] = mass.get(g, 0.0) + r["weight"]
+        for ti, w in zip(r["termIndices"], r["termWeights"]):
+            g = term_grp[vocab[ti]]
+            mass[g] = mass.get(g, 0.0) + w
     recovered: set[int] = set()
     for mass in by_topic.values():
         top_g = max(mass, key=lambda g: mass[g])
