@@ -34,6 +34,31 @@ from graphchi_cpp_spark.operators.text import (
 DEFAULT_MAX_SHINGLE_DF = 1000
 
 
+def _materialize_postings(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a multiply-consumed postings table.
+
+    Default: ``localCheckpoint`` — lineage-truncating MEMORY_AND_DISK
+    blocks, right when the table fits the executor heap. With
+    ``SPARK_GRAFT_MATERIALIZE=disk``: DISK_ONLY persist — the
+    out-of-core path for postings tables that rival the heap (e.g. 30M
+    docs × 22 shingles = 660M rows ≈ tens of GB of block storage on a
+    single host). This is the analog of the reference's core design
+    decision — GraphChi keeps shards on disk and streams them
+    (src/engine/graphchi_engine.hpp PSW loop) — applied to the one
+    intermediate this operator must read three times (sizes, stop set,
+    self-join). On a multi-executor cluster the default is fine: the
+    same table spreads across executors' memory+disk."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE") == "disk":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 # deterministic affine hash params for minhash permutations
 def _hash_params(k: int) -> list[tuple[int, int, int]]:
     """(i, a, b) for h_i(x) = (a*x + b) mod HASH_PRIME, a odd, fixed."""
@@ -318,7 +343,7 @@ def ngram_jaccard_dedup(
     rather than re-expanding every candidate against the full table.
     This plays the memory-bounding role of the reference's pivot
     batching (toolkits/collaborative_filtering/itemcf.cpp:206)."""
-    sh = shingle_hashes(docs, text_col, n).localCheckpoint(eager=True)
+    sh = _materialize_postings(shingle_hashes(docs, text_col, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     def exhaustive_inter() -> DataFrame:

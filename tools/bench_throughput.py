@@ -15,6 +15,8 @@ Usage: python tools/bench_throughput.py [n_edges ...]  (default 1M 10M)
                            empty string skips the dedup section)
   SPARK_GRAFT_THROUGHPUT_RUNS  repeats per workload (default 3)
   SPARK_GRAFT_SECTIONS     comma subset of graph,dedup,shard (default all)
+  SPARK_GRAFT_DEDUP_OPS    comma subset of minhash_dedup,ngram_jaccard_dedup
+                           (default both)
 """
 
 from __future__ import annotations
@@ -106,7 +108,15 @@ def main():
     sections = set(
         os.environ.get("SPARK_GRAFT_SECTIONS", "graph,dedup,shard").split(",")
     )
-    spark = get_spark("bench-throughput", shuffle_partitions=64)
+    # 64 suits the graph rows; the 660M-posting dedup aggregations want
+    # finer partitions (10M-row hash-aggregate tasks x 32 threads thrash
+    # an 80g heap) - override via SPARK_GRAFT_SHUFFLE_PARTITIONS
+    spark = get_spark(
+        "bench-throughput",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")
+        ),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # untimed JIT/codegen warmup (JMH convention): the first workload in
     # a fresh JVM otherwise pays compilation — measured 19.7s vs 16.0s
@@ -218,10 +228,17 @@ def main():
         row = {"n_docs": n_docs, "runs_per_workload": repeats}
         # one op per row-chunk, printed immediately and isolated: an OOM
         # in the second op must not lose the first op's finished runs
+        dedup_ops = set(
+            os.environ.get(
+                "SPARK_GRAFT_DEDUP_OPS", "minhash_dedup,ngram_jaccard_dedup"
+            ).split(",")
+        )
         for key, fn in (
             ("minhash_dedup", lambda: minhash_dedup_pairs(docs).count()),
             ("ngram_jaccard_dedup", lambda: ngram_jaccard_dedup(docs).count()),
         ):
+            if key not in dedup_ops:
+                continue
             try:
                 s, runs = timed(spark, fn, repeats)
                 row[f"{key}_s"] = s
