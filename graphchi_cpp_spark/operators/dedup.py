@@ -34,28 +34,51 @@ from graphchi_cpp_spark.operators.text import (
 DEFAULT_MAX_SHINGLE_DF = 1000
 
 
-def _materialize_postings(df: DataFrame) -> DataFrame:
+# scratch dirs written by disk-mode materialization; freed at process
+# exit, or earlier via reclaim_scratch() once no reader is live
+_SCRATCH_DIRS: list[str] = []
+
+
+def reclaim_scratch() -> None:
+    """Delete disk-mode scratch tables. Callers (e.g. bench repeat
+    loops) must ensure no DataFrame still reading them is live."""
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+def _materialize_postings(df: DataFrame, name: str = "postings") -> DataFrame:
     """Eagerly materialize a multiply-consumed postings table.
 
     Default: ``localCheckpoint`` — lineage-truncating MEMORY_AND_DISK
     blocks, right when the table fits the executor heap. With
-    ``SPARK_GRAFT_MATERIALIZE=disk``: DISK_ONLY persist — the
-    out-of-core path for postings tables that rival the heap (e.g. 30M
-    docs × 22 shingles = 660M rows ≈ tens of GB of block storage on a
-    single host). This is the analog of the reference's core design
-    decision — GraphChi keeps shards on disk and streams them
-    (src/engine/graphchi_engine.hpp PSW loop) — applied to the one
-    intermediate this operator must read three times (sizes, stop set,
-    self-join). On a multi-executor cluster the default is fine: the
-    same table spreads across executors' memory+disk."""
+    ``SPARK_GRAFT_MATERIALIZE=disk``: write to scratch parquet and read
+    back — the out-of-core path for postings tables that rival the heap
+    (30M docs × 22 shingles = 660M rows ≈ tens of GB on a single host).
+    Plain files rather than DISK_ONLY persist on purpose: block-manager
+    storage is subject to cleaner/eviction races under a GC-pressured
+    heap (observed: ``Block rdd_*_* does not exist`` killing a 24-min
+    job at 30M docs), while a parquet scan is re-readable forever and
+    gets column pruning on each downstream consumer. This is the analog
+    of the reference's core design decision — GraphChi keeps shards on
+    disk and streams them (src/engine/graphchi_engine.hpp PSW loop) —
+    applied to the one intermediate this operator must read three times
+    (sizes, stop set, self-join). On a multi-executor cluster the
+    default is fine: the same table spreads across executors'
+    memory+disk."""
     import os
 
     if os.environ.get("SPARK_GRAFT_MATERIALIZE") == "disk":
-        from pyspark import StorageLevel
+        import atexit
+        import tempfile
 
-        df = df.persist(StorageLevel.DISK_ONLY)
-        df.count()
-        return df
+        path = tempfile.mkdtemp(prefix=f"graft_scratch_{name}_")
+        if not _SCRATCH_DIRS:
+            atexit.register(reclaim_scratch)
+        _SCRATCH_DIRS.append(path)
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
     return df.localCheckpoint(eager=True)
 
 
@@ -358,12 +381,12 @@ def ngram_jaccard_dedup(
     if max_df is None:
         inter = exhaustive_inter()
     else:
-        stop = (
+        stop = _materialize_postings(
             sh.groupBy("sh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
-            .select("sh")
-            .localCheckpoint(eager=True)
+            .select("sh"),
+            name="stop",
         )
         if stop.isEmpty():
             # no stop shingles: the pruned plan IS the exhaustive plan

@@ -221,6 +221,25 @@ def test_ngram_jaccard_dedup_max_df_binding_recount_exact(spark):
     assert (3, 4) not in low_pruned and (1, 2) in low_pruned
 
 
+def test_ngram_jaccard_dedup_disk_materialization_identical(
+    spark, sf_dir, monkeypatch
+):
+    """SPARK_GRAFT_MATERIALIZE=disk (out-of-core postings persist, the
+    30M-doc single-host path) must produce byte-identical pairs to the
+    default localCheckpoint materialization."""
+    docs = _docs(spark, sf_dir)
+    default = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_dedup(docs, threshold=0.3).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "disk")
+    disk = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_dedup(docs, threshold=0.3).collect()
+    }
+    assert disk == default and len(default) > 0
+
+
 def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_dir):
     """Cross-operator invariant: the sketched pipeline (LSH candidates →
     exact verify) can only MISS pairs, never invent them — its output is

@@ -45,7 +45,11 @@ def _reclaim(spark):
     # edges, which is steady-state-iteration time, not the contract.
     import gc
 
+    from graphchi_cpp_spark.operators import dedup as _dedup
+
     spark.catalog.clearCache()
+    # disk-mode scratch parquet from the previous (finished) repeat
+    _dedup.reclaim_scratch()
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
