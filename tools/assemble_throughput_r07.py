@@ -29,17 +29,28 @@ def rows(path: str) -> list[dict]:
 
 
 def main():
-    graph_log, ds_log, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
-    graph = [r for r in rows(graph_log) if "pagerank_3iter_s" in r]
-    ds = rows(ds_log)
-    # per-op incremental prints: keep the most complete row per n_docs
+    out_path = sys.argv[-1]
+    logs = sys.argv[1:-1]
+    all_rows = [r for p in logs for r in rows(p)]
+    # rows are classified by content, merged per size key, LAST LOG WINS
+    # per field: separate invocations may each carry one op (e.g. the
+    # 30M ngram row ran alone in disk-materialization mode), and a
+    # targeted SPARK_GRAFT_GRAPH_OPS rerun on a quiet host supersedes
+    # the same field measured under contention in an earlier log
+    graph_by_m: dict[int, dict] = {}
     dedup: dict[int, dict] = {}
-    for r in ds:
+    for r in all_rows:
         if "n_docs" in r:
-            cur = dedup.get(r["n_docs"], {})
-            if len(r) >= len(cur):
-                dedup[r["n_docs"]] = r
-    shard = [r for r in ds if "shard_ingest_s" in r]
+            merged = dedup.setdefault(r["n_docs"], {})
+        elif "n_edges" in r and "shard_ingest_s" not in r:
+            merged = graph_by_m.setdefault(r["n_edges"], {})
+        else:
+            continue
+        for k, v in r.items():
+            if v is not None or k not in merged:
+                merged[k] = v
+    graph = sorted(graph_by_m.values(), key=lambda r: r["n_edges"])
+    shard = [r for r in all_rows if "shard_ingest_s" in r]
     baseline = {
         "pagerank_edges_per_s_per_iter": 5_800_000,
         "triangles_edges_per_s": 450_000,
@@ -72,12 +83,16 @@ def main():
         "shard_ingest": shard,
         "vs_baseline_x": vs,
         "notes": (
-            "30M-doc exact-ngram dedup OOMs a 48g single-JVM heap (660M "
-            "shingle postings + window df-annotation); 10M docs is the "
-            "largest single-host corpus for that path here — on a real "
-            "cluster the same plan spreads postings across executors. "
-            "minhash run samples show a strong warm-up trend; medians "
-            "reported, all samples retained."
+            "30M-doc exact-ngram dedup needs SPARK_GRAFT_MATERIALIZE=disk "
+            "(postings written to scratch parquet and streamed back — the "
+            "GraphChi shards-on-disk analog): the 660M-row postings table "
+            "rivals even an 80g single-JVM heap, and block-manager-backed "
+            "materialization (DISK_ONLY persist / localCheckpoint) loses "
+            "blocks to cleaner/eviction races under that GC pressure. On a "
+            "real cluster the default in-memory path spreads postings "
+            "across executors and disk mode is unnecessary. minhash run "
+            "samples show a strong warm-up trend; medians reported, all "
+            "samples retained."
         ),
     }
     with open(out_path, "w") as f:

@@ -138,6 +138,13 @@ def main():
     )
     pagerank(PropertyGraph(warm), max_iter=2).count()
 
+    # rerun a single workload (e.g. to settle a noisy median) without
+    # paying for the whole section — mirrors SPARK_GRAFT_DEDUP_OPS
+    graph_ops = set(
+        os.environ.get(
+            "SPARK_GRAFT_GRAPH_OPS", "pagerank,wcc,wcc_star,triangles,als"
+        ).split(",")
+    )
     results = []
     for n_edges in sizes if "graph" in sections else []:
         n = max(1000, n_edges // 10)  # avg degree 10
@@ -146,16 +153,31 @@ def main():
         )
         m = edges.count()
         g = PropertyGraph(edges)
+        row = {"n_edges": m, "runs_per_workload": repeats}
 
-        pr_s, pr_runs = timed(
-            spark, lambda: pagerank(g, max_iter=3).count(), repeats
-        )
-        cc_s, cc_runs = timed(
-            spark, lambda: connected_components(g, max_iter=30).count(), repeats
-        )
-        ccs_s, ccs_runs = timed(
-            spark, lambda: connected_components_star(g).count(), repeats
-        )
+        if "pagerank" in graph_ops:
+            pr_s, pr_runs = timed(
+                spark, lambda: pagerank(g, max_iter=3).count(), repeats
+            )
+            row["pagerank_3iter_s"] = pr_s
+            row["pagerank_runs"] = pr_runs
+            row["pagerank_edges_per_s_per_iter"] = int(3 * m / pr_s)
+        if "wcc" in graph_ops:
+            cc_s, cc_runs = timed(
+                spark,
+                lambda: connected_components(g, max_iter=30).count(),
+                repeats,
+            )
+            row["wcc_s"] = cc_s
+            row["wcc_runs"] = cc_runs
+            row["wcc_edges_per_s"] = int(m / cc_s)
+        if "wcc_star" in graph_ops:
+            ccs_s, ccs_runs = timed(
+                spark, lambda: connected_components_star(g).count(), repeats
+            )
+            row["wcc_star_s"] = ccs_s
+            row["wcc_star_runs"] = ccs_runs
+            row["wcc_star_edges_per_s"] = int(m / ccs_s)
 
         # triangle counting shuffles the full wedge set; the cap guards
         # scratch disk on small hosts (100M edges measured < 10G shuffle
@@ -163,56 +185,44 @@ def main():
         tri_cap = int(
             float(os.environ.get("SPARK_GRAFT_TRI_CAP_EDGES", 200_000_000))
         )
-        tri_s, tri_runs = None, None
-        if m <= tri_cap:
+        if "triangles" in graph_ops and m <= tri_cap:
             tri_s, tri_runs = timed(
                 spark, lambda: triangle_count(g).collect(), repeats
             )
-
-        # ALS ratings-throughput (baseline row: 1.7M ratings/s/iter):
-        # synthetic (user, item, rating) at the same row count, d=2
-        # expression path, 3 iterations
-        n_users, n_items = max(1000, m // 10), max(500, m // 100)
-        ratings = (
-            spark.range(m)
-            .select(
-                (F.col("id") % n_users).alias("user"),
-                F.pmod(F.col("id") * 2654435761, F.lit(n_items)).alias("item"),
-                (1.0 + (F.col("id") % 5)).cast("double").alias("rating"),
+            # `is not None`: a legitimately measured ~0.0s run must not
+            # be dropped by float truthiness
+            row["triangles_s"] = tri_s if tri_s is not None else None
+            row["triangles_runs"] = tri_runs
+            row["triangles_edges_per_s"] = (
+                int(m / tri_s) if tri_s is not None and tri_s > 0 else None
             )
-            .localCheckpoint(eager=True)
-        )
-        als_s, als_runs = timed(
-            spark, lambda: als(ratings, d=2, iterations=3), repeats
-        )
 
-        results.append(
-            {
-                "n_edges": m,
-                "runs_per_workload": repeats,
-                "pagerank_3iter_s": pr_s,
-                "pagerank_runs": pr_runs,
-                "pagerank_edges_per_s_per_iter": int(3 * m / pr_s),
-                "wcc_s": cc_s,
-                "wcc_runs": cc_runs,
-                "wcc_edges_per_s": int(m / cc_s),
-                "wcc_star_s": ccs_s,
-                "wcc_star_runs": ccs_runs,
-                "wcc_star_edges_per_s": int(m / ccs_s),
-                # `is not None`: a legitimately measured ~0.0s run must not
-                # be dropped by float truthiness
-                "triangles_s": tri_s if tri_s is not None else None,
-                "triangles_runs": tri_runs,
-                "triangles_edges_per_s": (
-                    int(m / tri_s) if tri_s is not None and tri_s > 0 else None
-                ),
-                "als_3iter_s": als_s,
-                "als_runs": als_runs,
-                "als_ratings_per_s_per_iter": int(3 * m / als_s),
-            }
-        )
+        if "als" in graph_ops:
+            # ALS ratings-throughput (baseline row: 1.7M ratings/s/iter):
+            # synthetic (user, item, rating) at the same row count, d=2
+            # expression path, 3 iterations
+            n_users, n_items = max(1000, m // 10), max(500, m // 100)
+            ratings = (
+                spark.range(m)
+                .select(
+                    (F.col("id") % n_users).alias("user"),
+                    F.pmod(
+                        F.col("id") * 2654435761, F.lit(n_items)
+                    ).alias("item"),
+                    (1.0 + (F.col("id") % 5)).cast("double").alias("rating"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            als_s, als_runs = timed(
+                spark, lambda: als(ratings, d=2, iterations=3), repeats
+            )
+            row["als_3iter_s"] = als_s
+            row["als_runs"] = als_runs
+            row["als_ratings_per_s_per_iter"] = int(3 * m / als_s)
+            ratings.unpersist()
+
+        results.append(row)
         edges.unpersist()
-        ratings.unpersist()
         print(json.dumps(results[-1]))
 
     # ------------------------------------------------------------------ #
