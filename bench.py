@@ -76,6 +76,13 @@ def main():
     spark.range(1_000_000).groupBy(F.col("id") % 64).count().count()
 
     qs = entrymod.queries()
+    # comma subset for targeted confirmation runs (mirrors
+    # SPARK_GRAFT_GRAPH_OPS / SPARK_GRAFT_DEDUP_OPS in the throughput
+    # tool); default: the full benchmark-visible list
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    bench_queries = (
+        [q for q in only.split(",") if q] if only else BENCH_QUERIES
+    )
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     # Iterative queries (multi-superstep driver loops) showed round-over-
     # round wall drift with unchanged plans (pagerank 6.24→8.19s r4→r6);
@@ -89,7 +96,7 @@ def main():
     metrics: dict[str, dict] = {}
     errors: dict[str, str] = {}
     spread: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         if name not in qs:
             continue
         q_runs = max(n_runs, 3) if name in iterative else n_runs
