@@ -118,11 +118,15 @@ def exact_duplicates_sql(docs_sql: str = "documents") -> str:
 # --------------------------------------------------------------------- #
 # shingles + minhash signatures
 # --------------------------------------------------------------------- #
-def _gram_strings(text_col: str, n: int):
-    """Array column of word n-gram strings (kept single-level: nesting
-    more higher-order functions on top re-evaluates children per element
-    — measured 8× slower than explode-then-compute)."""
-    toks = tokens(F.col(text_col))
+def _gram_strings(toks, n: int):
+    """Array column of word n-gram strings from a MATERIALIZED token
+    array column. ``toks`` must be an attribute reference to a column
+    projected in a prior select, never an inline ``tokens(text)``
+    expression: any non-trivial child captured by a higher-order-
+    function lambda is re-evaluated PER ELEMENT (the split ran once per
+    gram — measured 3× slower on the sf0.1 gram expansion), and nesting
+    further HOFs on top compounds it (measured 8× vs
+    explode-then-compute)."""
     cnt = F.size(toks)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
@@ -132,9 +136,9 @@ def _gram_strings(text_col: str, n: int):
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, sh) — distinct md5-int hashes of word n-gram shingles."""
-    grams = _gram_strings(text_col, n)
+    pre = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
     return (
-        docs.select("doc_id", F.explode(grams).alias("g"))
+        pre.select("doc_id", F.explode(_gram_strings(F.col("_toks"), n)).alias("g"))
         .select("doc_id", F.pmod(md5_long(F.col("g")), F.lit(HASH_PRIME)).alias("sh"))
         .distinct()
     )
@@ -154,11 +158,11 @@ def shingle_hashes_sql(docs_sql: str = "documents", n: int = 3) -> str:
     """
 
 
-def _shingle_hash_array(text_col: str, n: int):
-    """Per-row array of shingle hashes (min is duplicate-insensitive, so
-    no distinct needed)."""
+def _shingle_hash_array(toks, n: int):
+    """Per-row array of shingle hashes from a materialized token array
+    column (min is duplicate-insensitive, so no distinct needed)."""
     return F.transform(
-        _gram_strings(text_col, n),
+        _gram_strings(toks, n),
         lambda g: F.pmod(md5_long(g), F.lit(HASH_PRIME)),
     )
 
@@ -171,8 +175,10 @@ def minhash_columns(
     affine permutation), entirely inside whole-stage codegen. This is the
     scale path: 100 TB of documents → embarrassingly parallel scan, no
     exchange until the LSH band join."""
-    arr = _shingle_hash_array(text_col, n)
-    d = docs.select("doc_id", arr.alias("_shs"))
+    pre = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    d = pre.select(
+        "doc_id", _shingle_hash_array(F.col("_toks"), n).alias("_shs")
+    )
 
     def perm(a: int, b: int):
         return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(HASH_PRIME))
@@ -302,10 +308,11 @@ def ngram_jaccard(
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sub = docs.join(doc_ids, "doc_id", "leftsemi")
-    grams = _gram_strings(text_col, n)
+    sub = docs.join(doc_ids, "doc_id", "leftsemi").select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    )
     sets = (
-        sub.select("doc_id", F.explode(grams).alias("g"))
+        sub.select("doc_id", F.explode(_gram_strings(F.col("_toks"), n)).alias("g"))
         .select(
             "doc_id", F.pmod(md5_long(F.col("g")), F.lit(HASH_PRIME)).alias("sh")
         )

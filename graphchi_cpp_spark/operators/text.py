@@ -193,13 +193,16 @@ def fingerprints(docs: DataFrame, text_col: str = "text", w: int = 5) -> DataFra
     """(doc_id, fingerprint) — min hash over word w-grams (the winnowing
     'select minimum of window' idea collapsed to one global min; documents
     sharing the fingerprint almost surely share a w-gram)."""
-    toks = tokens(F.col(text_col))
+    # tokens materialized in a prior select: a computed child captured
+    # by a HOF lambda is re-evaluated per element (split once per gram)
+    pre = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
     )
-    return docs.select(
+    return pre.select(
         "doc_id",
         F.array_min(F.transform(grams, lambda g: md5_long(g))).alias("fingerprint"),
     )
@@ -233,8 +236,10 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale: one explode + one (doc_id, gram) groupBy + one doc_id
     re-aggregate — all partially aggregated, no joins; cost is linear in
     corpus token count."""
-    t = F.col(text_col)
-    toks = tokens(t)
+    # tokens materialized in a prior select: a computed child captured
+    # by a HOF lambda is re-evaluated per element (split once per bigram)
+    pre = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     cnt = F.size(toks)
     # docs with < 2 tokens have NO bigrams — emit an empty gram list
     # (not a synthesized single-token "bigram", which would report
@@ -246,7 +251,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per_tok = docs.select(
+    per_tok = pre.select(
         "doc_id", F.explode(toks).alias("g")
     ).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     tok_agg = per_tok.groupBy("doc_id").agg(
@@ -255,7 +260,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.sum("c") - F.count("*")) / F.sum("c"), 6
         ).alias("dup_token_frac"),
     )
-    per_bg = docs.select(
+    per_bg = pre.select(
         "doc_id", F.explode(grams).alias("g")
     ).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     bg_agg = per_bg.groupBy("doc_id").agg(
