@@ -77,8 +77,15 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     quality) — heuristic quality in [0,1]: long-enough docs with natural
     stopword density and mostly-alphabetic characters score high
     (C4/CCNet-style hand rules, deterministic arithmetic only)."""
-    t = F.col(text_col)
-    toks = tokens(t)
+    # token array materialized once: the raw expression is consumed by
+    # size + filter + two ratio terms, each of which would re-split
+    t = F.col("_text")
+    pre = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -94,7 +101,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             + alpha_ratio * 0.3
         ),
     )
-    return docs.select(
+    return pre.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.round(mean_wl, 4).alias("mean_word_len"),
@@ -143,19 +150,25 @@ LANG_MARKERS = {
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, lang_score) — argmax of marker-token counts,
     alphabetical tiebreak, 'und' (undetermined) when no marker hits."""
-    toks = tokens(F.col(text_col))
+    # two-stage materialization: the token array feeds one filter per
+    # language, and the score array is consumed three times (max, argmax
+    # filter, null-guard) — project each once instead of re-evaluating
+    pre = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
     scores = []
     for lang in sorted(LANG_MARKERS):
         arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        cnt = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        cnt = F.size(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(arr, x))
+        )
         scores.append(F.struct(cnt.alias("c"), F.lit(lang).alias("l")))
+    staged = pre.select("doc_id", F.array(*scores).alias("_scores"))
     # argmax: highest count wins, alphabetically-first lang on ties
-    structs = F.array(*scores)
+    structs = F.col("_scores")
     best_count = F.array_max(F.transform(structs, lambda s: s["c"]))
     pred = F.array_min(
         F.filter(structs, lambda s: s["c"] == best_count)
     )["l"]
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.when(best_count > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
         best_count.cast("long").alias("lang_score"),
