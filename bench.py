@@ -91,6 +91,8 @@ def main():
     iterative = {
         "pagerank", "wcc", "wcc_star", "scc", "kcores",
         "lpa_communities", "streaming_pagerank",
+        # equally drift-exposed multi-superstep drivers
+        "msf", "als_rmse_history", "als_coord_rmse_history",
     }
     timings: dict[str, float] = {}
     metrics: dict[str, dict] = {}
