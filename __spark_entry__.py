@@ -524,6 +524,19 @@ def _register_pipeline_ops():
     def q_ngram_jaccard_dedup(spark, sf_dir):
         return ngram_jaccard_dedup(_docs(spark, sf_dir), threshold=0.3)
 
+    # same operator with max_df forced BELOW the corpus's max shingle
+    # df (sf0.01 tops out at 7), so the driver gate exercises the
+    # pruned-candidate + dropped-shingle-recount branch rather than the
+    # empty-stop-set short circuit the default takes at test scale
+    @query(
+        "ngram_jaccard_dedup_pruned",
+        ngram_jaccard_dedup_sql(threshold=0.3, max_df=3),
+    )
+    def q_ngram_jaccard_dedup_pruned(spark, sf_dir):
+        return ngram_jaccard_dedup(
+            _docs(spark, sf_dir), threshold=0.3, max_df=3
+        )
+
     # decontamination: every 10th doc plays the "benchmark suite",
     # the rest the training corpus; probe shingles broadcast
     from graphchi_cpp_spark.operators.dedup import (
