@@ -241,6 +241,48 @@ def test_itemcf3_jaccard_weight_reference_golden(spark):
     assert got == expected
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_UNITTEST),
+    reason="reference fixtures not present",
+)
+def test_itemsim2rating_reference_golden(spark):
+    """Parity with the reference's itemsim2rating unit test
+    (unittest.sh 'ITEM-SIM-TO-RATING'): --K=4 --undirected=1 on
+    itemsim2rating.unittest.graph + .similarity must reproduce
+    itemsim2rating.unittest verbatim — per user, each unseen item's
+    score is the sum of similarities to the user's rated items, zero
+    scores omitted."""
+    from graphchi_cpp_spark.cf.itemcf import itemsim2rating
+    from graphchi_cpp_spark.sources.matrix_market import read_matrix_market
+
+    r = read_matrix_market(spark, f"{_REF_UNITTEST}/itemsim2rating.unittest.graph")
+    s = read_matrix_market(
+        spark, f"{_REF_UNITTEST}/itemsim2rating.unittest.similarity"
+    ).select(
+        F.col("user").alias("item_a"),
+        F.col("item").alias("item_b"),
+        F.col("rating").alias("sim"),
+    )
+    recs = itemsim2rating(r, s, k=4)
+    # reader is 0-based; the reference's expected file is 1-based
+    got = {
+        (int(x["user"]) + 1, int(x["item"]) + 1): round(x["score"], 6)
+        for x in recs.collect()
+    }
+    expected = {  # itemsim2rating.unittest, verbatim
+        (1, 3): 2.0,
+        (2, 1): 1.0,
+        (2, 4): 1.0,
+        (3, 1): 1.0,
+        (3, 3): 1.0,
+        (4, 2): 1.0,
+        (4, 3): 1.0,
+        (5, 2): 1.0,
+        (5, 4): 1.0,
+    }
+    assert got == expected
+
+
 def test_edge_jaccard_weight_vs_duckdb(spark, sf_dir, duck):
     from graphchi_cpp_spark.cf.itemcf import (
         edge_jaccard_weight,
