@@ -234,6 +234,7 @@ def main():
         minhash_dedup_pairs,
         ngram_jaccard_dedup,
     )
+    from graphchi_cpp_spark.pipeline import clean_corpus
 
     dedup_results = []
     for n_docs in doc_sizes if "dedup" in sections else []:
@@ -247,9 +248,26 @@ def main():
                 "SPARK_GRAFT_DEDUP_OPS", "minhash_dedup,ngram_jaccard_dedup"
             ).split(",")
         )
+        # full pipeline: every 1009th doc plays the benchmark-probe set
+        # (id offset keeps probe ids disjoint from train ids); quality
+        # floor 0.3 sits below the synthetic corpus's ~0.38 median so
+        # the filter stage does representative, non-degenerate work
+        probes = (
+            docs.filter(F.col("doc_id") % 1009 == 0)
+            .select((F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+            if "clean_corpus" in dedup_ops
+            else None
+        )
         for key, fn in (
             ("minhash_dedup", lambda: minhash_dedup_pairs(docs).count()),
             ("ngram_jaccard_dedup", lambda: ngram_jaccard_dedup(docs).count()),
+            (
+                "clean_corpus",
+                lambda: clean_corpus(
+                    docs, probes=probes, quality_min=0.3
+                ).count(),
+            ),
         ):
             if key not in dedup_ops:
                 continue
@@ -262,6 +280,8 @@ def main():
                 row[f"{key}_error"] = f"{type(exc).__name__}"[:120]
             print(json.dumps({k: v for k, v in row.items()}))
         dedup_results.append(row)
+        if probes is not None:
+            probes.unpersist()
         docs.unpersist()
 
     # ------------------------------------------------------------------ #
