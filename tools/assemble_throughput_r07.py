@@ -72,6 +72,10 @@ def main():
         "ngram_jaccard_dedup": (
             "ngram_jaccard_dedup_s", "ngram_jaccard_dedup_docs_per_s",
             lambda m, s: int(m / s)),
+        "clean_corpus": ("clean_corpus_s", "clean_corpus_docs_per_s",
+                         lambda m, s: int(m / s)),
+        "simhash": ("simhash_s", "simhash_docs_per_s",
+                    lambda m, s: int(m / s)),
     }
     for merged in list(graph_by_m.values()) + list(dedup.values()):
         m = merged.get("n_edges", merged.get("n_docs"))

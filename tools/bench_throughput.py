@@ -233,6 +233,7 @@ def main():
     from graphchi_cpp_spark.operators.dedup import (
         minhash_dedup_pairs,
         ngram_jaccard_dedup,
+        simhash,
     )
     from graphchi_cpp_spark.pipeline import clean_corpus
 
@@ -267,6 +268,12 @@ def main():
                 lambda: clean_corpus(
                     docs, probes=probes, quality_min=0.3
                 ).count(),
+            ),
+            # sum(), not count(): count() prunes the signature
+            # projection and would time an empty scan
+            (
+                "simhash",
+                lambda: simhash(docs).agg(F.sum("simhash")).collect(),
             ),
         ):
             if key not in dedup_ops:
