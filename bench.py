@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ngram_jaccard_dedup",
+    "ngram_jaccard_dedup_pruned",
     "ngram_contamination",
     "clean_corpus",
     "random_walks",
