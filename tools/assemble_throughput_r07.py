@@ -134,7 +134,11 @@ def main():
             "real cluster the default in-memory path spreads postings "
             "across executors and disk mode is unnecessary. minhash run "
             "samples show a strong warm-up trend; medians reported, all "
-            "samples retained. pagerank/als @99M were remeasured in "
+            "samples retained. The 10M dedup rows were remeasured after "
+            "the token-array pre-projection change so every multi-size "
+            "comparison is same-code; the 30M ngram row predates it and "
+            "is a conservative lower bound (the change only removes "
+            "per-element re-splits). pagerank/als @99M were remeasured in "
             "targeted reruns, every batch merged (none discarded): "
             "identical pagerank plans span 25.3-158.2s across 9 samples "
             "— single-host contention dominates at this scale "
