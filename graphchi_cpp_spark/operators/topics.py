@@ -31,23 +31,46 @@ def lda_topics(
     vocab_size: int = 1000,
     seed: int = 42,
     text_col: str = "text",
+    vocabulary: list[str] | None = None,
+    optimizer: str = "online",
+    single_partition: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit LDA; returns (topics(topic, term, weight), doc_topics(doc_id,
-    topic_distribution)). Guarded import of pyspark.ml."""
+    topic_distribution)). Guarded import of pyspark.ml.
+
+    ``vocabulary`` pins the term index to a caller-declared order
+    (bypassing CountVectorizer's frequency fit, whose ties are broken by
+    shuffle order); ``optimizer="em"`` selects full-batch EM over the
+    subsampling online default; ``single_partition`` coalesces the
+    vectorized corpus so the seeded init is partitioning-independent.
+    The three together make a fit run-stable on small fixtures — they
+    exist so the oracled recovery contract exercises THIS code path."""
     try:
         from pyspark.ml.clustering import LDA
-        from pyspark.ml.feature import CountVectorizer, Tokenizer
+        from pyspark.ml.feature import (
+            CountVectorizer,
+            CountVectorizerModel,
+            Tokenizer,
+        )
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("pyspark.ml unavailable") from e
 
     tok = Tokenizer(inputCol=text_col, outputCol="_tokens")
     with_tokens = tok.transform(docs.select("doc_id", text_col))
-    cv = CountVectorizer(
-        inputCol="_tokens", outputCol="_features", vocabSize=vocab_size
-    ).fit(with_tokens)
+    if vocabulary is not None:
+        cv = CountVectorizerModel.from_vocabulary(
+            vocabulary, inputCol="_tokens", outputCol="_features"
+        )
+    else:
+        cv = CountVectorizer(
+            inputCol="_tokens", outputCol="_features", vocabSize=vocab_size
+        ).fit(with_tokens)
     vec = cv.transform(with_tokens)
+    if single_partition:
+        vec = vec.coalesce(1)
     model = LDA(
-        k=k, maxIter=max_iter, seed=seed, featuresCol="_features"
+        k=k, maxIter=max_iter, seed=seed, optimizer=optimizer,
+        featuresCol="_features",
     ).fit(vec)
     vocab = cv.vocabulary
     topics = (
@@ -115,44 +138,30 @@ def lda_topic_recovery(
     the fit recovers the planted partition; DuckDB oracle is the
     constant expected table.
 
-    Determinism: the general ``lda_topics`` path is NOT run-stable on
-    this fixture — all 18 terms have identical global counts, so
-    CountVectorizer's frequency-ordered vocabulary is tie-broken by
-    shuffle order, and the online optimizer subsamples ~5 of 90 docs per
-    iteration; both perturb the fit across runs. The contract fixture
-    instead vectorizes against the FIXED declared vocabulary order, runs
-    the full-batch EM optimizer, and coalesces to one partition so the
-    seeded init is partitioning-independent — same verdict every run."""
-    try:
-        from pyspark.ml.clustering import LDA
-        from pyspark.ml.linalg import Vectors
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("pyspark.ml unavailable") from e
-
+    Runs the PRODUCTION ``lda_topics`` shim (Tokenizer → CountVectorizer
+    → pyspark.ml LDA → top-5 (topic, term, weight) rows) — the gate
+    verifies the same code path the documents-table query registers.
+    Determinism comes from ``lda_topics``'s pinning knobs: all 18
+    fixture terms have identical global counts (a frequency-fit
+    vocabulary would be tie-broken by shuffle order) and the online
+    optimizer subsamples ~5 of 90 docs per iteration, so the contract
+    passes the FIXED declared vocabulary, selects the full-batch EM
+    optimizer, and coalesces to one partition — same verdict every run."""
     vocab = [t for vs in LDA_FIXTURE_VOCAB for t in vs]
-    vidx = {t: i for i, t in enumerate(vocab)}
     corpus = lda_separable_corpus(spark)
-    # bounded pull: the fixture is 90 12-token docs by construction
-    vec_rows = []
-    for r in corpus.collect():
-        counts: dict[int, float] = {}
-        for t in r["text"].split(" "):
-            counts[vidx[t]] = counts.get(vidx[t], 0.0) + 1.0
-        vec_rows.append((r["doc_id"], Vectors.sparse(len(vocab), counts)))
-    vec = spark.createDataFrame(vec_rows, ["doc_id", "_features"]).coalesce(1)
-    model = LDA(
-        k=k, maxIter=max_iter, seed=seed, optimizer="em", featuresCol="_features"
-    ).fit(vec)
+    topics, _ = lda_topics(
+        corpus, k=k, max_iter=max_iter, seed=seed,
+        vocabulary=vocab, optimizer="em", single_partition=True,
+    )
     term_grp = {
         t: g for g, vs in enumerate(LDA_FIXTURE_VOCAB) for t in vs
     }
     by_topic: dict[int, dict[int, float]] = {}
-    # bounded pull: ≤ k × 5 (topic, termIndices, termWeights) rows
-    for r in model.describeTopics(5).collect():
+    # bounded pull: ≤ k × 5 (topic, term, weight) rows
+    for r in topics.collect():
         mass = by_topic.setdefault(r["topic"], {})
-        for ti, w in zip(r["termIndices"], r["termWeights"]):
-            g = term_grp[vocab[ti]]
-            mass[g] = mass.get(g, 0.0) + w
+        g = term_grp[r["term"]]
+        mass[g] = mass.get(g, 0.0) + r["weight"]
     recovered: set[int] = set()
     for mass in by_topic.values():
         top_g = max(mass, key=lambda g: mass[g])

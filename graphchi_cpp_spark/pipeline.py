@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphchi_cpp_spark.operators.dedup import (
+    _materialize_postings,
     exact_duplicates,
     exact_duplicates_sql,
     ngram_contamination,
@@ -43,6 +44,7 @@ def clean_corpus(
     dup_bigram_max: float = 0.5,
     contamination_max: float = 0.8,
     n_contam: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Returns the surviving documents' summary rows
     (doc_id, n_tokens, quality, dup_bigram_frac, pred_lang) after:
@@ -52,6 +54,11 @@ def clean_corpus(
     3. repetition ceiling — duplicate-bigram fraction ≤ ``dup_bigram_max``;
     4. decontamination — drop documents containing ≥ ``contamination_max``
        of any probe document's n-grams (skipped when ``probes`` is None).
+
+    ``materialize=True`` (default) eagerly materializes the post-dedup
+    corpus at plan-BUILD time — constructing the pipeline runs the dedup
+    jobs. Pass ``materialize=False`` for a fully lazy plan (each
+    downstream consumer re-executes the dedup join).
     """
     dups = exact_duplicates(docs)
     # the post-dedup corpus is the fan-out point: four independent
@@ -60,10 +67,15 @@ def clean_corpus(
     # measured 2.4x end-to-end at 1M docs (136s -> 57s). Materializing
     # here is exactly what a production pipeline does: persist the
     # deduped corpus once, then run the per-document passes over it.
+    # _materialize_postings honors SPARK_GRAFT_MATERIALIZE=disk (scratch
+    # parquet instead of block-manager blocks) for corpora that rival
+    # the executor heap.
     kept = docs.join(
         dups.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
         "doc_id",
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        kept = _materialize_postings(kept, "clean_corpus_kept")
     q = quality_scores(kept).select("doc_id", "n_tokens", "quality")
     r = repetition_stats(kept).select("doc_id", "dup_bigram_frac")
     out = (

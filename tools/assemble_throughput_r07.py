@@ -40,19 +40,37 @@ def main():
     # evidence instead of silently replacing it.
     graph_by_m: dict[int, dict] = {}
     dedup: dict[int, dict] = {}
+    # per (size-key, runs-field): ordered {batch_id: samples}. Rows
+    # emitted by bench_throughput.py carry a per-invocation "batch" id,
+    # so remeasurement merging is exact: within one batch the latest
+    # (cumulative) print wins, distinct batches concatenate — identical
+    # rounded samples from different invocations are no longer dropped.
+    # Legacy rows without a batch id fall back to the old tail-equality
+    # heuristic under the sentinel None batch.
+    contribs: dict[int, dict[str, dict]] = {}
     for r in all_rows:
         if "n_docs" in r:
-            merged = dedup.setdefault(r["n_docs"], {})
+            size_key = r["n_docs"]
+            merged = dedup.setdefault(size_key, {})
         elif "n_edges" in r and "shard_ingest_s" not in r:
-            merged = graph_by_m.setdefault(r["n_edges"], {})
+            size_key = r["n_edges"]
+            merged = graph_by_m.setdefault(size_key, {})
         else:
             continue
+        batch = r.get("batch")
         for k, v in r.items():
-            if k.endswith("_runs") and isinstance(merged.get(k), list):
-                # incremental per-op prints repeat earlier samples in the
-                # same log — only NEW samples (a different batch) extend
-                if merged[k][-len(v):] != v:
-                    merged[k] = merged[k] + v
+            if k == "batch":
+                continue
+            if k.endswith("_runs") and isinstance(v, list):
+                per_key = contribs.setdefault(id(merged), {}).setdefault(k, {})
+                if batch is None and None in per_key:
+                    # legacy heuristic: same-log cumulative re-prints
+                    # repeat the tail; only a differing list extends
+                    if per_key[None][-len(v):] != v:
+                        per_key[None] = per_key[None] + v
+                else:
+                    per_key[batch] = v
+                merged[k] = [s for vs in per_key.values() for s in vs]
             elif v is not None or k not in merged:
                 merged[k] = v
 

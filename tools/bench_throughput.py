@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 import statistics
 import sys
 import time
@@ -102,6 +103,11 @@ def synthetic_docs(spark, n_docs: int, dup_frac: float = 0.1, tokens: int = 24,
 
 
 def main():
+    # unique per-invocation id stamped onto every emitted row so the
+    # artifact assembler can merge remeasurement samples by batch
+    # instead of guessing from sample-list equality (two batches can
+    # legitimately produce identical rounded samples)
+    batch = uuid.uuid4().hex[:12]
     sizes = [int(float(s)) for s in sys.argv[1:]] or [1_000_000, 10_000_000]
     doc_sizes = [
         int(float(s))
@@ -153,7 +159,7 @@ def main():
         )
         m = edges.count()
         g = PropertyGraph(edges)
-        row = {"n_edges": m, "runs_per_workload": repeats}
+        row = {"batch": batch, "n_edges": m, "runs_per_workload": repeats}
 
         if "pagerank" in graph_ops:
             pr_s, pr_runs = timed(
@@ -189,13 +195,11 @@ def main():
             tri_s, tri_runs = timed(
                 spark, lambda: triangle_count(g).collect(), repeats
             )
-            # `is not None`: a legitimately measured ~0.0s run must not
-            # be dropped by float truthiness
-            row["triangles_s"] = tri_s if tri_s is not None else None
+            row["triangles_s"] = tri_s
             row["triangles_runs"] = tri_runs
-            row["triangles_edges_per_s"] = (
-                int(m / tri_s) if tri_s is not None and tri_s > 0 else None
-            )
+            # timed() always returns a float median; only the derived
+            # rate needs a zero guard
+            row["triangles_edges_per_s"] = int(m / tri_s) if tri_s > 0 else None
 
         if "als" in graph_ops:
             # ALS ratings-throughput (baseline row: 1.7M ratings/s/iter):
@@ -241,7 +245,7 @@ def main():
     for n_docs in doc_sizes if "dedup" in sections else []:
         docs = synthetic_docs(spark, n_docs).localCheckpoint(eager=True)
         docs.count()
-        row = {"n_docs": n_docs, "runs_per_workload": repeats}
+        row = {"batch": batch, "n_docs": n_docs, "runs_per_workload": repeats}
         # one op per row-chunk, printed immediately and isolated: an OOM
         # in the second op must not lose the first op's finished runs
         dedup_ops = set(
@@ -333,6 +337,7 @@ def main():
             sh_s, sh_runs = timed(spark, ingest, repeats)
             shard_results.append(
                 {
+                    "batch": batch,
                     "n_edges": m,
                     "runs_per_workload": repeats,
                     "shard_ingest_s": sh_s,
