@@ -303,3 +303,37 @@ def test_edge_jaccard_weight_vs_duckdb(spark, sf_dir, duck):
             {edge_jaccard_weight_sql(f'SELECT "user" AS src, item AS dst, rating AS weight FROM ({RATINGS_SQL})')}
         )""",
     )
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_UNITTEST),
+    reason="reference fixtures not present",
+)
+def test_topk_parser_reference_golden(spark):
+    """Parity with the reference's topk parser test (unittest.sh 'TOP K'):
+    ``toolkits/parsers/topk.cpp:125-136`` keeps the FIRST K rows per
+    from-key in file order (the input contract says the file is
+    pre-sorted by key then value, topk.cpp:29); the expected output is
+    committed verbatim as topk.unittest.ids.correct. The Spark analog is
+    top_k_per_key ordered ascending on the line position."""
+    from graphchi_cpp_spark.operators.toplist import top_k_per_key
+
+    base = "/root/reference/toolkits/collaborative_filtering/unittest"
+    rows = []
+    with open(f"{base}/topk.unittest") as f:
+        for pos, line in enumerate(f):
+            p = line.split()
+            if len(p) >= 3:
+                rows.append((int(p[0]), int(p[1]), float(p[2]), pos))
+    df = spark.createDataFrame(rows, "frm int, dst int, val double, pos long")
+    got: dict[int, list[int]] = {}
+    topk = top_k_per_key(df, "frm", "pos", 3, ascending=True)
+    for r in topk.orderBy("frm", "rank").collect():
+        got.setdefault(r["frm"], []).append(r["dst"])
+    expected: dict[int, list[int]] = {}
+    with open(f"{base}/topk.unittest.ids.correct") as f:
+        for line in f:
+            p = [int(x) for x in line.split()]
+            if p:
+                expected[p[0]] = p[1:]
+    assert got == expected
