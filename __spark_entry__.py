@@ -506,6 +506,57 @@ def _register_pipeline_ops():
     def q_lsh_cand(spark, sf_dir):
         return lsh_candidates(_docs(spark, sf_dir))
 
+    @query("streaming_lsh_candidates", lsh_candidates_sql())
+    def q_streaming_lsh_cand(spark, sf_dir):
+        # X5+ streaming twin of minhash_lsh_candidates, EXECUTED as a
+        # real Structured Streaming query: the corpus is replayed as two
+        # interleaved micro-batches through the applyInPandasWithState
+        # bucket op (streaming/dedup.py), and the emitted pair set must
+        # hash-match the same batch SQL oracle — a streaming operator
+        # held to the batch correctness contract.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from graphchi_cpp_spark.streaming.dedup import streaming_lsh_candidates
+
+        d = tempfile.mkdtemp(prefix="graft_stream_lsh_")
+        try:
+            indir = os.path.join(d, "in")
+            os.makedirs(indir)
+            rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+            import json as _json
+
+            for b in range(2):
+                with open(os.path.join(indir, f"b{b}.json"), "w") as f:
+                    for i, r in enumerate(rows):
+                        if i % 2 == b:
+                            f.write(
+                                _json.dumps(
+                                    {"doc_id": r["doc_id"], "text": r["text"]}
+                                )
+                                + "\n"
+                            )
+            sink = f"stream_lsh_{uuid.uuid4().hex[:8]}"
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(indir)
+            )
+            q = (
+                streaming_lsh_candidates(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.table(sink).select("doc_a", "doc_b").distinct()
+
     @query("minhash_dedup", minhash_dedup_pairs_sql(threshold=0.3))
     def q_minhash_dedup(spark, sf_dir):
         return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.3)

@@ -225,19 +225,18 @@ def minhash_signatures_sql(
 # --------------------------------------------------------------------- #
 # LSH banding → candidate pairs
 # --------------------------------------------------------------------- #
-def lsh_candidates(
+def banded_keys(
     docs: DataFrame,
     text_col: str = "text",
     n: int = 3,
     bands: int = 8,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate near-duplicate pairs: docs agreeing on all
-    rows of at least one band. 8×4 ≈ catches Jaccard ≳ 0.5.
-
-    Scale shape: band keys are per-row projections (no shuffle), then ONE
-    explode to (doc, band, key) and ONE self-equi-join on (band, key) —
-    output-bounded, never all-pairs."""
+    """(doc_id, band, band_key) — the LSH band keys as a PURE per-row
+    projection (minhash columns → per-band concat → one explode), no
+    shuffle and no action, so it composes into batch plans AND streaming
+    DataFrames unchanged (streaming/dedup.py builds its stateful
+    candidate op on this exact projection)."""
     wide = minhash_columns(docs, text_col, n, bands * rows_per_band)
     band_structs = [
         F.struct(
@@ -252,11 +251,29 @@ def lsh_candidates(
         )
         for band in range(bands)
     ]
-    banded = wide.select(
+    return wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
-    ).localCheckpoint(eager=True)
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs: docs agreeing on all
+    rows of at least one band. 8×4 ≈ catches Jaccard ≳ 0.5.
+
+    Scale shape: band keys are per-row projections (no shuffle), then ONE
+    explode to (doc, band, key) and ONE self-equi-join on (band, key) —
+    output-bounded, never all-pairs."""
+    banded = banded_keys(docs, text_col, n, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
     a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (

@@ -33,3 +33,79 @@ def streaming_exact_dedup(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["h"])
     )
+
+
+def streaming_lsh_candidates(
+    stream: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate CANDIDATE pairs: the batch
+    ``operators.dedup.lsh_candidates`` contract (docs agreeing on all
+    rows of ≥1 band) re-expressed over an arriving corpus. Emits
+    append-mode (doc_a, doc_b) rows with doc_a < doc_b; the same pair
+    may surface from more than one band (and again if the pair recurs
+    across micro-batches against different members) — consumers dedupe
+    with ``dropDuplicates``, exactly the ``.distinct()`` the batch
+    operator ends with.
+
+    Shape: the signature + banding is the batch code's own ZERO-shuffle
+    per-row projection (``operators.dedup.banded_keys`` — md5-affine
+    minhash under each permutation, per-band key concat), so it applies
+    to a streaming DataFrame unchanged; the only stateful piece is a
+    per-(band, band_key) bucket membership list maintained with
+    ``applyInPandasWithState``. Each arriving doc emits a pair per
+    existing bucket member, then joins the bucket — the streaming
+    analog of the batch band self-equi-join, still output-bounded and
+    never all-pairs.
+
+    State bound: each bucket keeps at most ``max_bucket_size`` member
+    ids (arrivals beyond that still pair against the stored members but
+    are not stored — a bucket that hot is a stop-shingle-like
+    degeneracy). For unbounded streams pair this with an upstream
+    watermark horizon or a state-store TTL policy, as with
+    ``streaming_exact_dedup``: global forever-dedup needs unbounded
+    state by definition.
+
+    Determinism: signatures are md5-derived (cross-engine stable) and
+    within a micro-batch members are admitted in ascending doc_id
+    order, so the emitted pair SET equals the batch candidate set when
+    every doc fits the state bound — pytest asserts that equivalence.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from graphchi_cpp_spark.operators.dedup import banded_keys
+
+    banded = banded_keys(stream, text_col, n, bands, rows_per_band)
+
+    def update(
+        key: tuple, pdfs, state: GroupState
+    ):
+        ids: list[int] = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        new_docs: list[int] = []
+        for pdf in pdfs:
+            new_docs.extend(int(d) for d in pdf["doc_id"])
+        for doc in sorted(set(new_docs)):
+            for seen in ids:
+                if seen != doc:
+                    out_a.append(min(seen, doc))
+                    out_b.append(max(seen, doc))
+            if len(ids) < max_bucket_size:
+                ids.append(doc)
+        state.update((ids,))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return banded.groupBy("band", "band_key").applyInPandasWithState(
+        update,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -233,3 +233,58 @@ def test_streaming_exact_dedup_matches_batch_canonicals(spark):
         [(i, t) for i, _, t in rows], ["doc_id", "text"]
     )
     assert exact_duplicates(batch).select("canonical_id").distinct().count() == 3
+
+
+def test_streaming_lsh_candidates_matches_batch(spark, sf_dir):
+    """The streaming MinHash-LSH candidate op must emit exactly the
+    batch lsh_candidates pair set (after the consumer-side distinct)
+    when the corpus is replayed across micro-batches — near-dup pairs
+    split across batches included."""
+    from graphchi_cpp_spark.operators.dedup import lsh_candidates
+    from graphchi_cpp_spark.streaming.dedup import streaming_lsh_candidates
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id % 4 = 0")
+    )
+    rows = docs.collect()
+    assert len(rows) > 50
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(docs).collect()
+    }
+    assert expected, "fixture must contain near-dup candidates"
+
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        ckpt = os.path.join(d, "ckpt")
+        os.makedirs(indir)
+        # three micro-batches; interleave so near-dup pairs straddle them
+        for b in range(3):
+            with open(os.path.join(indir, f"b{b}.json"), "w") as f:
+                for i, r in enumerate(rows):
+                    if i % 3 == b:
+                        f.write(
+                            json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                            + "\n"
+                        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+        q = (
+            streaming_lsh_candidates(stream)
+            .writeStream.format("memory")
+            .queryName("lsh_cand_sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.table("lsh_cand_sink").collect()
+        }
+    assert got == expected
