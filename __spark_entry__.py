@@ -561,6 +561,87 @@ def _register_pipeline_ops():
     def q_minhash_dedup(spark, sf_dir):
         return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.3)
 
+    @query(
+        "streaming_exact_dedup",
+        """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id, md5(text) AS h FROM corpus
+        WHERE doc_id IN (
+            SELECT min(doc_id) FROM corpus GROUP BY md5(text)
+        )
+        """,
+    )
+    def q_streaming_exact_dedup(spark, sf_dir):
+        # X5+ streaming exact dedup EXECUTED as a real Structured
+        # Streaming run over the corpus PLUS planted exact duplicates
+        # (every 10th doc replayed under doc_id+1M, so the drop branch
+        # actually fires): the stream arrives in doc_id order (two
+        # single-partition micro-batch files), so the watermark-bounded
+        # dropDuplicatesWithinWatermark keeps exactly the batch
+        # canonicals (min doc_id per distinct text) — hash-matched
+        # against the batch dedup oracle on the same planted corpus.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from graphchi_cpp_spark.streaming.dedup import streaming_exact_dedup
+
+        d = tempfile.mkdtemp(prefix="graft_stream_exact_")
+        try:
+            indir = os.path.join(d, "in")
+            os.makedirs(indir)
+            base = _docs(spark, sf_dir).select("doc_id", "text")
+            from pyspark.sql import functions as SF
+
+            planted = base.filter(SF.col("doc_id") % 10 == 0).select(
+                (SF.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+            rows = sorted(
+                base.unionByName(planted).collect(),
+                key=lambda r: r["doc_id"],
+            )
+            import json as _json
+
+            half = (len(rows) + 1) // 2
+            for b, chunk in enumerate((rows[:half], rows[half:])):
+                with open(os.path.join(indir, f"b{b}.json"), "w") as f:
+                    for i, r in enumerate(chunk):
+                        f.write(
+                            _json.dumps(
+                                {
+                                    "doc_id": r["doc_id"],
+                                    # synthetic monotone event time, all
+                                    # within the 1h watermark horizon
+                                    "ts": f"2024-01-01T10:{(b * half + i) % 60:02d}:00",
+                                    "text": r["text"],
+                                }
+                            )
+                            + "\n"
+                        )
+            sink = f"stream_exact_{uuid.uuid4().hex[:8]}"
+            stream = (
+                spark.readStream.schema("doc_id long, ts timestamp, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(indir)
+            )
+            q = (
+                streaming_exact_dedup(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.table(sink).select("doc_id", "h")
+
     # exact inverted-index variant; the REGISTERED contract is the
     # scale-safe one: max_df stop-shingle pruning ON by default
     # (DEFAULT_MAX_SHINGLE_DF) for candidate generation, with the
