@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphchi_cpp_spark.graph import PropertyGraph
+from graphchi_cpp_spark.operators.dedup import _materialize_postings
 
 
 def _oriented_edges(graph: PropertyGraph, orient: str) -> DataFrame:
@@ -37,12 +38,18 @@ def _oriented_edges(graph: PropertyGraph, orient: str) -> DataFrame:
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        # eager checkpoint, not cache: the degree calc and the orientation
-        # consume und in PARALLEL stages of one job — an unpopulated cache
-        # gets computed twice, and the downstream 3-way self-join re-reads
-        # it three more times (measured 13s -> ~28s with lazy cache)
-        .localCheckpoint(eager=True)
+        # eager materialization, not cache: the degree calc and the
+        # orientation consume und in PARALLEL stages of one job — an
+        # unpopulated cache gets computed twice, and the downstream 3-way
+        # self-join re-reads it three more times (measured 13s -> ~28s
+        # with lazy cache). Default localCheckpoint; with
+        # SPARK_GRAFT_MATERIALIZE=disk the 2|E|-row table goes to scratch
+        # parquet instead of block-manager blocks — at 300M input edges
+        # the und+oriented checkpoints (~900M block-manager rows) plus
+        # live shuffle buffers exceed even an 80g single-JVM heap, while
+        # a multi-executor cluster spreads the same blocks.
     )
+    und = _materialize_postings(und, "tri_und")
     canon = und.filter(F.col("src") < F.col("dst"))
     if orient == "id":
         return canon
@@ -74,7 +81,7 @@ def triangles(graph: PropertyGraph, orient: str = "id") -> DataFrame:
     pivot-batch in-memory adjacency, ``trianglecounting.cpp:91``). Above
     the limit: shuffle joins on b / (a,c), AQE skew-splitting hubs.
     """
-    e = _oriented_edges(graph, orient).localCheckpoint(eager=True)
+    e = _materialize_postings(_oriented_edges(graph, orient), "tri_oriented")
     small = e.count() <= BROADCAST_EDGE_LIMIT
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
