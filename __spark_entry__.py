@@ -552,7 +552,11 @@ def _register_pipeline_ops():
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                # stop the zombie stream BEFORE the finally rmtree pulls
+                # its checkpoint out from under it
+                q.stop()
+                raise TimeoutError("streaming_lsh_candidates run exceeded 600s")
         finally:
             shutil.rmtree(d, ignore_errors=True)
         return spark.table(sink).select("doc_a", "doc_b").distinct()
@@ -569,21 +573,20 @@ def _register_pipeline_ops():
             UNION ALL
             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
         )
-        SELECT doc_id, md5(text) AS h FROM corpus
-        WHERE doc_id IN (
-            SELECT min(doc_id) FROM corpus GROUP BY md5(text)
-        )
+        SELECT md5(text) AS h, 1 AS n_survivors FROM corpus GROUP BY md5(text)
         """,
     )
     def q_streaming_exact_dedup(spark, sf_dir):
         # X5+ streaming exact dedup EXECUTED as a real Structured
         # Streaming run over the corpus PLUS planted exact duplicates
         # (every 10th doc replayed under doc_id+1M, so the drop branch
-        # actually fires): the stream arrives in doc_id order (two
-        # single-partition micro-batch files), so the watermark-bounded
-        # dropDuplicatesWithinWatermark keeps exactly the batch
-        # canonicals (min doc_id per distinct text) — hash-matched
-        # against the batch dedup oracle on the same planted corpus.
+        # actually fires). The contract is ORDER-INSENSITIVE on purpose:
+        # which copy of a duplicate group survives depends on per-key
+        # arrival order inside the shuffled micro-batch (file splits
+        # under maxPartitionBytes make it nondeterministic at larger
+        # sf), so the oracle pins what dedup actually guarantees — every
+        # distinct text survives EXACTLY ONCE (h + survivor count per
+        # hash), not which doc_id carried it.
         import os
         import shutil
         import tempfile
@@ -637,10 +640,19 @@ def _register_pipeline_ops():
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("streaming_exact_dedup run exceeded 600s")
         finally:
             shutil.rmtree(d, ignore_errors=True)
-        return spark.table(sink).select("doc_id", "h")
+        from pyspark.sql import functions as SF2
+
+        return (
+            spark.table(sink)
+            .groupBy("h")
+            .agg(SF2.count("*").alias("n_survivors"))
+            .select("h", SF2.col("n_survivors").cast("int").alias("n_survivors"))
+        )
 
     # exact inverted-index variant; the REGISTERED contract is the
     # scale-safe one: max_df stop-shingle pruning ON by default

@@ -35,16 +35,26 @@ def kcores(
     max_k: int = 1_000_000,
     method: str = "hindex",
     max_iter: int = 100,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Returns (id, core) for every vertex; isolated vertices → core 0."""
+    """Returns (id, core) for every vertex; isolated vertices → core 0.
+
+    ``stats``: optional dict the hindex path fills with
+    ``{"iterations": n}`` (supersteps run until the fixpoint, INCLUDING
+    the final no-change confirmation pass) — lets callers assert the
+    convergence depth, e.g. that a CTE-unrolled oracle's iteration
+    budget covers it (tests/test_graph_algos.py pins the sf0.01 gate
+    margin)."""
     if method == "hindex":
-        return _kcores_hindex(graph, max_iter=max_iter)
+        return _kcores_hindex(graph, max_iter=max_iter, stats=stats)
     if method == "peel":
         return _kcores_peel(graph, max_k=max_k)
     raise ValueError(f"unknown kcores method {method!r}")
 
 
-def _kcores_hindex(graph: PropertyGraph, max_iter: int = 100) -> DataFrame:
+def _kcores_hindex(
+    graph: PropertyGraph, max_iter: int = 100, stats: dict | None = None
+) -> DataFrame:
     """Montresor h-index fixpoint: one loop, two shuffles per iteration
     (neighbor join + value histogram), edge table cached once with
     partition reuse. Monotone non-increasing per vertex, so convergence
@@ -67,7 +77,9 @@ def _kcores_hindex(graph: PropertyGraph, max_iter: int = 100) -> DataFrame:
     )
     c.count()
 
+    iterations = 0
     for _ in range(max_iter):
+        iterations += 1
         # Aggregate-only h-index (no per-edge sort): histogram the
         # neighbor values per vertex (hash agg, map-side combinable —
         # the shuffle carries |distinct (src, value)| rows, not |E|),
@@ -111,6 +123,8 @@ def _kcores_hindex(graph: PropertyGraph, max_iter: int = 100) -> DataFrame:
             break
 
     e.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
     return all_vertices.join(c, "id", "left").select(
         "id", F.coalesce("c", F.lit(0)).cast("int").alias("core")
     )

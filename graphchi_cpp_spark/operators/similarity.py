@@ -170,9 +170,17 @@ def lsh_cosine_topk(
     re-rank of the (deduped) candidates. Recall < 1 by construction
     (documented ANN semantics); tune (num_planes, num_bands) for the
     recall/cost point."""
-    buckets = lsh_sign_buckets(
-        embeddings, num_planes, num_bands, id_col, vec_col, dim
-    ).cache()
+    from graphchi_cpp_spark.operators.dedup import _materialize_postings
+
+    # eager materialization, not lazy cache: the candidate build consumes
+    # the buckets table TWICE in one job (probe semi-join + collision
+    # self-join) — an unpopulated lazy cache computes it twice (the
+    # dual-consumer pattern documented at algos/triangles.py), and disk
+    # mode routes heap-rivaling bucket tables to scratch parquet
+    buckets = _materialize_postings(
+        lsh_sign_buckets(embeddings, num_planes, num_bands, id_col, vec_col, dim),
+        "lsh_buckets",
+    )
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))

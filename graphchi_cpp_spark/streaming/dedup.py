@@ -42,6 +42,9 @@ def streaming_lsh_candidates(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int = 10_000,
+    state_ttl_ms: int | None = None,
+    evict_idle: bool = False,
+    overflow_acc=None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate CANDIDATE pairs: the batch
     ``operators.dedup.lsh_candidates`` contract (docs agreeing on all
@@ -65,10 +68,31 @@ def streaming_lsh_candidates(
     State bound: each bucket keeps at most ``max_bucket_size`` member
     ids (arrivals beyond that still pair against the stored members but
     are not stored — a bucket that hot is a stop-shingle-like
-    degeneracy). For unbounded streams pair this with an upstream
-    watermark horizon or a state-store TTL policy, as with
-    ``streaming_exact_dedup``: global forever-dedup needs unbounded
-    state by definition.
+    degeneracy). Dropped admissions are observable: pass a Spark
+    accumulator as ``overflow_acc`` and it counts every doc a saturated
+    bucket declined to store (silent recall loss otherwise — the bound
+    is documented, the counter proves whether it fired).
+
+    State expiry: with ``state_ttl_ms`` set, a bucket idle longer than
+    the TTL stops pairing — a key receiving data after its TTL lapsed
+    starts from an empty membership list (checked against the batch's
+    processing timestamp, so it holds under ANY trigger, including
+    ``availableNow`` replays). That alone caps semantic staleness but
+    not memory: idle keys' state rows linger until their next arrival.
+    ``evict_idle=True`` additionally registers per-key
+    ``ProcessingTimeTimeout`` timers so the engine physically removes
+    idle buckets' state — use it for CONTINUOUS triggers only:
+    processing-time timers make ``shouldRunAnotherBatch`` always true,
+    so an ``availableNow`` run never terminates (it loops on "no new
+    data but cleaning up state" — observed on Spark 4.1, which is why
+    eviction is a separate knob rather than implied by the TTL). This
+    bounds bucket COUNT for unbounded streams — the width bound alone
+    only caps each bucket. Reference analog: the dynamic engine's
+    buffer-budget eviction (``src/engine/dynamic_graphs/
+    graphchi_dynamicgraph_engine.hpp:299-303``) — state that outlives
+    its usefulness window is flushed, not kept forever. Without a TTL,
+    state grows with the distinct band-key space forever: fine for a
+    bounded corpus replay, wrong for a true unbounded stream.
 
     Determinism: signatures are md5-derived (cross-engine stable) and
     within a micro-batch members are admitted in ascending doc_id
@@ -85,12 +109,26 @@ def streaming_lsh_candidates(
     def update(
         key: tuple, pdfs, state: GroupState
     ):
-        ids: list[int] = list(state.get[0]) if state.exists else []
+        if state.hasTimedOut:
+            # evict_idle timer fired: idle past the TTL with no data
+            # this batch — physically drop the bucket's state row
+            state.remove()
+            return
+        now = state.getCurrentProcessingTimeMs() if state_ttl_ms else 0
+        ids: list[int] = []
+        if state.exists:
+            stored_ids, last_ms = state.get
+            # TTL check at data time: the bucket's horizon lapsed
+            # between batches — start fresh, don't pair with members
+            # older than the TTL
+            if not (state_ttl_ms and now - last_ms > state_ttl_ms):
+                ids = list(stored_ids)
         out_a: list[int] = []
         out_b: list[int] = []
         new_docs: list[int] = []
         for pdf in pdfs:
             new_docs.extend(int(d) for d in pdf["doc_id"])
+        dropped = 0
         for doc in sorted(set(new_docs)):
             for seen in ids:
                 if seen != doc:
@@ -98,14 +136,25 @@ def streaming_lsh_candidates(
                     out_b.append(max(seen, doc))
             if len(ids) < max_bucket_size:
                 ids.append(doc)
-        state.update((ids,))
+            else:
+                dropped += 1
+        if dropped and overflow_acc is not None:
+            overflow_acc.add(dropped)
+        state.update((ids, now))
+        if evict_idle and state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_a:
             yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if (evict_idle and state_ttl_ms)
+        else GroupStateTimeout.NoTimeout
+    )
     return banded.groupBy("band", "band_key").applyInPandasWithState(
         update,
         outputStructType="doc_a long, doc_b long",
-        stateStructType="ids array<long>",
+        stateStructType="ids array<long>, last_ms long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -337,3 +337,67 @@ def test_topk_parser_reference_golden(spark):
             if p:
                 expected[p[0]] = p[1:]
     assert got == expected
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_UNITTEST),
+    reason="reference fixtures not present",
+)
+def test_metric_eval_reference_golden(spark):
+    """Parity with the reference's two metric_eval unit tests
+    (unittest.sh:98,100): MAP@3 over its own fixture files.
+
+    test 1: --training=metric_eval.unittest4 --test=metric_eval.unittest3
+            → MAP = (5/9 + 2/3 + 5/6) / 3 = 0.685185
+    test 2: --training=metric_eval.unittest2 --test=metric_eval.unittest2
+            → MAP = 1.0
+    (values derived by hand from metrics.hpp:28-43's
+    average_precision_at_k over the fixture lines; the reference logs
+    the MAP rather than diffing it, so the formula IS the golden.)
+
+    Format: each fixture line is `user item item ...` — the training
+    file's items are the ranked predictions (file order = rank), the
+    test file's items the truth. metric_eval.cpp truncates the truth
+    to its first min(K, n) FILE-ORDER items before matching
+    (metrics.hpp:33-34, Ben Hamner's averagePrecisionAtK does the
+    same); a DataFrame truth set carries no file order, so the parity
+    harness applies that truncation at parse time."""
+    from graphchi_cpp_spark.cf.eval import (
+        average_precision_at_k as ap_at_k,
+    )
+    from graphchi_cpp_spark.cf.eval import mean_average_precision
+
+    K = 3
+
+    def parse(fname, truncate=None):
+        rows = []
+        with open(f"{_REF_UNITTEST}/{fname}") as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                user, items = int(parts[0]), [int(x) for x in parts[1:]]
+                if truncate is not None:
+                    items = items[:truncate]
+                rows.extend(
+                    (user, item, rank)
+                    for rank, item in enumerate(items, start=1)
+                )
+        return spark.createDataFrame(rows, ["user", "item", "rank"])
+
+    # test 1: predictions=unittest4, truth=unittest3
+    recs = parse("metric_eval.unittest4")
+    truth = parse("metric_eval.unittest3").select("user", "item")
+    ap = {r["user"]: r["ap"] for r in ap_at_k(recs, truth, K).collect()}
+    assert ap[1] == pytest.approx(5 / 9)
+    assert ap[2] == pytest.approx(2 / 3)
+    assert ap[3] == pytest.approx(5 / 6)
+    m1 = mean_average_precision(recs, truth, K).collect()[0]["map"]
+    assert m1 == pytest.approx((5 / 9 + 2 / 3 + 5 / 6) / 3)  # 0.685185
+
+    # test 2: predictions = truth = unittest2 (truth truncated to K,
+    # matching metrics.hpp:33-34)
+    recs2 = parse("metric_eval.unittest2")
+    truth2 = parse("metric_eval.unittest2", truncate=K).select("user", "item")
+    m2 = mean_average_precision(recs2, truth2, K).collect()[0]["map"]
+    assert m2 == pytest.approx(1.0)

@@ -152,3 +152,23 @@ def test_percolation(spark):
     assert surv.count() < g.edges.count()
     comp = bond_percolation(g, p=0.5)
     assert comp.count() == 8  # every original vertex labeled
+
+
+def test_kcores_gate_converges_within_oracle_unroll(spark, sf_dir):
+    """The registered kcores query's DuckDB oracle unrolls the h-index
+    fixpoint 24 times (__spark_entry__.py kcores_sql(iterations=24)) —
+    sufficient only if the Spark side actually converges within that
+    budget on the gate graph. Assert the margin instead of assuming it:
+    the fixture's convergence depth must sit comfortably under the
+    unroll (extra oracle iterations past the fixpoint are no-ops, so
+    only TOO FEW is dangerous)."""
+    from graphchi_cpp_spark.datasets import cosupply_edges
+
+    g = PropertyGraph.from_edges(cosupply_edges(spark, sf_dir))
+    stats: dict = {}
+    kcores(g, stats=stats).count()
+    assert 0 < stats["iterations"] <= 24, (
+        f"h-index fixpoint took {stats['iterations']} supersteps — the "
+        "registered oracle's 24-iteration CTE unroll no longer covers it; "
+        "raise iterations= in __spark_entry__.py's kcores query"
+    )

@@ -288,3 +288,156 @@ def test_streaming_lsh_candidates_matches_batch(spark, sf_dir):
             for r in spark.table("lsh_cand_sink").collect()
         }
     assert got == expected
+
+
+def test_streaming_lsh_state_ttl_expires_idle_buckets(spark):
+    """With state_ttl_ms set, a bucket idle past the TTL stops pairing:
+    a doc arriving after the horizon starts a fresh membership list
+    (expiry path (b)), so only the within-horizon pair is emitted. The
+    control run (no TTL) over the identical file sequence emits all
+    three pairs — proving the TTL, not arrival order, removed them."""
+    import time
+
+    from graphchi_cpp_spark.streaming.dedup import streaming_lsh_candidates
+
+    text = "alpha beta gamma delta epsilon"  # identical docs: same bucket
+
+    def run(ttl_ms):
+        pairs: set = set()
+        with tempfile.TemporaryDirectory() as d:
+            indir = os.path.join(d, "in")
+            ckpt = os.path.join(d, "ckpt")
+            os.makedirs(indir)
+
+            # foreachBatch, not the memory sink: run 2's restart-from-
+            # checkpoint is the point of the test, and the memory sink
+            # refuses checkpoint recovery
+            def collect(batch_df, _batch_id):
+                pairs.update(
+                    (r["doc_a"], r["doc_b"]) for r in batch_df.collect()
+                )
+
+            def stream_once(fname, rows):
+                with open(os.path.join(indir, fname), "w") as f:
+                    for doc_id in rows:
+                        f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .json(indir)
+                )
+                q = (
+                    streaming_lsh_candidates(
+                        stream, bands=2, rows_per_band=2, state_ttl_ms=ttl_ms
+                    )
+                    .writeStream.foreachBatch(collect)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(180), "streaming run timed out"
+
+            # run 1: docs 1,2 share the bucket -> pair (1,2), state [1,2]
+            stream_once("b0.json", [1, 2])
+            time.sleep(2.5)  # idle past the 2s TTL (when set)
+            # run 2 (same checkpoint -> state persisted): doc 3 arrives
+            stream_once("b1.json", [3])
+        return pairs
+
+    assert run(ttl_ms=2000) == {(1, 2)}          # 3 sees an expired bucket
+    assert run(ttl_ms=None) == {(1, 2), (1, 3), (2, 3)}  # control: no expiry
+
+
+def test_streaming_lsh_overflow_accumulator_counts_dropped(spark):
+    """A saturated bucket (max_bucket_size=1) still pairs arrivals against
+    stored members but declines to store them — the overflow accumulator
+    makes that recall loss observable instead of silent."""
+    import uuid
+
+    from graphchi_cpp_spark.streaming.dedup import streaming_lsh_candidates
+
+    text = "zeta eta theta iota kappa"
+    acc = spark.sparkContext.accumulator(0)
+    sink = f"lsh_ovf_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        os.makedirs(indir)
+        with open(os.path.join(indir, "b0.json"), "w") as f:
+            for doc_id in (1, 2, 3):
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+        q = (
+            streaming_lsh_candidates(
+                stream, bands=2, rows_per_band=2,
+                max_bucket_size=1, overflow_acc=acc,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "streaming run timed out"
+        pairs = {(r["doc_a"], r["doc_b"]) for r in spark.table(sink).collect()}
+    # only doc 1 is stored; 2 and 3 each pair against it and are dropped
+    assert pairs == {(1, 2), (1, 3)}
+    # identical text -> both bands saturate: 2 dropped docs x 2 bands
+    assert acc.value == 4
+
+
+def test_streaming_lsh_evict_idle_removes_state_rows(spark):
+    """evict_idle=True registers ProcessingTimeTimeout timers: buckets
+    idle past the TTL are physically removed from the state store
+    (observable as numRowsRemoved in the state-operator progress).
+    Needs a continuous trigger — availableNow never terminates with
+    processing-time timers registered (documented in the operator)."""
+    import time
+    import uuid
+
+    from graphchi_cpp_spark.streaming.dedup import streaming_lsh_candidates
+
+    text = "lambda mu nu xi omicron"
+    sink = f"lsh_evict_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        os.makedirs(indir)
+        with open(os.path.join(indir, "b0.json"), "w") as f:
+            for doc_id in (1, 2):
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+        q = (
+            streaming_lsh_candidates(
+                stream, bands=2, rows_per_band=2,
+                state_ttl_ms=1500, evict_idle=True,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            removed = 0
+            deadline = time.time() + 120
+            while time.time() < deadline and removed == 0:
+                time.sleep(2)
+                for p in q.recentProgress:
+                    for op in p.get("stateOperators", []):
+                        removed += op.get("numRowsRemoved", 0) or 0
+            pairs = {
+                (r["doc_a"], r["doc_b"]) for r in spark.table(sink).collect()
+            }
+        finally:
+            q.stop()
+    assert pairs == {(1, 2)}
+    # both band buckets were evicted after sitting idle past the TTL
+    assert removed >= 2
