@@ -14,9 +14,14 @@ Usage: python tools/bench_throughput.py [n_edges ...]  (default 1M 10M)
   SPARK_GRAFT_DOC_SIZES    comma list of dedup corpus sizes (default 30M;
                            empty string skips the dedup section)
   SPARK_GRAFT_THROUGHPUT_RUNS  repeats per workload (default 3)
-  SPARK_GRAFT_SECTIONS     comma subset of graph,dedup,shard (default all)
+  SPARK_GRAFT_SECTIONS     comma subset of graph,dedup,shard,streaming
+                           (default graph,dedup,shard; streaming is
+                           opt-in — it times full Structured Streaming
+                           runs, minutes per repeat)
   SPARK_GRAFT_DEDUP_OPS    comma subset of minhash_dedup,ngram_jaccard_dedup
                            (default both)
+  SPARK_GRAFT_STREAM_DOCS  corpus size for the streaming section
+                           (default 1M)
 """
 
 from __future__ import annotations
@@ -296,6 +301,78 @@ def main():
         docs.unpersist()
 
     # ------------------------------------------------------------------ #
+    # Streaming stateful-dedup throughput: the correctness-proven
+    # streaming operators (exact dedup + MinHash-LSH candidates) timed
+    # as REAL Structured Streaming runs — 8 micro-batch files replayed
+    # through availableNow, noop sink, fresh checkpoint per repeat.
+    # docs/s here includes the engine's per-batch planning + state-store
+    # commit overhead, i.e. the number a production micro-batch deploy
+    # would actually see.
+    # ------------------------------------------------------------------ #
+    streaming_results = []
+    if "streaming" in sections:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from graphchi_cpp_spark.streaming.dedup import (
+            streaming_exact_dedup,
+            streaming_lsh_candidates,
+        )
+
+        n_docs = int(float(os.environ.get("SPARK_GRAFT_STREAM_DOCS", "1000000")))
+        docs = synthetic_docs(spark, n_docs).withColumn(
+            # synthetic monotone-ish event time within one watermark horizon
+            "ts",
+            SF.timestamp_seconds(SF.lit(1704103200) + SF.col("doc_id") % 3600),
+        )
+        src = tempfile.mkdtemp(prefix="stream_bench_src_")
+        docs.repartition(8).write.mode("overwrite").json(src)  # untimed prep
+        row = {"batch": batch, "n_docs": n_docs, "runs_per_workload": repeats}
+
+        def run_stream(make_query):
+            ckpt = tempfile.mkdtemp(prefix="stream_bench_ckpt_")
+            try:
+                stream = (
+                    spark.readStream.schema("doc_id long, text string, ts timestamp")
+                    .option("maxFilesPerTrigger", 1)
+                    .json(src)
+                )
+                q = (
+                    make_query(stream)
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not q.awaitTermination(3600):
+                    q.stop()
+                    raise TimeoutError("streaming bench run exceeded 3600s")
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+        for key, mk in (
+            ("streaming_exact_dedup", lambda st: streaming_exact_dedup(st)),
+            (
+                "streaming_lsh_candidates",
+                # production shape: bounded state via TTL (idle buckets
+                # stop pairing after 1h of processing time)
+                lambda st: streaming_lsh_candidates(st, state_ttl_ms=3_600_000),
+            ),
+        ):
+            try:
+                s, runs = timed(spark, lambda: run_stream(mk), repeats)
+                row[f"{key}_s"] = s
+                row[f"{key}_runs"] = runs
+                row[f"{key}_docs_per_s"] = int(n_docs / s)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                row[f"{key}_error"] = f"{type(exc).__name__}"[:120]
+            print(json.dumps({k: v for k, v in row.items()}))
+        streaming_results.append(row)
+        shutil.rmtree(src, ignore_errors=True)
+
+    # ------------------------------------------------------------------ #
     # Sharding-ingest analog (BASELINE row: 2.5M edges/s — text edge list
     # -> dst-interval shards). Ours: text edge list -> bucketed+sorted
     # parquet table, the write-once/co-located-forever equivalent.
@@ -355,6 +432,7 @@ def main():
         "throughput_scaling": results,
         "dedup_throughput": dedup_results,
         "shard_ingest": shard_results,
+        "streaming_throughput": streaming_results,
     }))
 
 
