@@ -75,15 +75,35 @@ def _triplets(
 
     Joining only the sides actually referenced keeps PageRank-style
     gather (src side only) to a single join per superstep.
+
+    The join keys are PLAIN projected columns, not struct fields: a join
+    on ``edge.src`` (a field extraction) defeats outputPartitioning
+    propagation, so an edge table the caller pre-partitioned by src gets
+    re-shuffled EVERY superstep — measured as an extra
+    ``Exchange hashpartitioning(edge.src)`` per iteration. Projecting
+    the key beside the struct (``src AS _jsrc``) keeps the cache's
+    hashpartitioning visible to the planner: the gather join of a
+    co-partitioned (edges by src, state by id) pair is exchange-free,
+    which is the O(E)-shuffle-per-superstep vs O(V) difference at scale.
     """
-    t = edges.select(F.struct(*edges.columns).alias("edge"))
+    t = edges.select(
+        F.struct(*edges.columns).alias("edge"),
+        F.col("src").alias("_jsrc"),
+        F.col("dst").alias("_jdst"),
+    )
     if need_src:
-        vs = vertices.select(F.struct(*vertices.columns).alias("src"))
-        t = t.join(vs, F.col("edge.src") == F.col("src.id"))
+        vs = vertices.select(
+            F.struct(*vertices.columns).alias("src"),
+            F.col("id").alias("_vsid"),
+        )
+        t = t.join(vs, F.col("_jsrc") == F.col("_vsid")).drop("_vsid")
     if need_dst:
-        vd = vertices.select(F.struct(*vertices.columns).alias("dst"))
-        t = t.join(vd, F.col("edge.dst") == F.col("dst.id"))
-    return t
+        vd = vertices.select(
+            F.struct(*vertices.columns).alias("dst"),
+            F.col("id").alias("_vdid"),
+        )
+        t = t.join(vd, F.col("_jdst") == F.col("_vdid")).drop("_vdid")
+    return t.drop("_jsrc", "_jdst")
 
 
 def aggregate_messages(
