@@ -7,7 +7,13 @@ samples from distinct batches concatenate, cumulative re-prints within
 one batch collapse to the latest. Medians and derived throughputs are
 recomputed over the merged sample sets.
 
-Usage: python tools/assemble_throughput_r09.py [log ...] THROUGHPUT_r09.json
+Usage: python tools/assemble_throughput_r09.py [--reset op1,op2] [log ...] THROUGHPUT_r09.json
+
+--reset drops the BASE artifact's retained samples for the named ops
+(prefix match on the *_runs field) before merging: required when an
+op's implementation changed between rounds — the old samples measure
+the old code, and a median over both implementations describes neither.
+New-log samples for the op are kept regardless.
 """
 
 from __future__ import annotations
@@ -65,8 +71,13 @@ def log_rows(path: str) -> list[dict]:
 
 
 def main():
-    out_path = sys.argv[-1]
-    logs = sys.argv[1:-1]
+    args = sys.argv[1:]
+    reset: set[str] = set()
+    if args and args[0] == "--reset":
+        reset = {x for x in args[1].split(",") if x}
+        args = args[2:]
+    out_path = args[-1]
+    logs = args[:-1]
     base = json.load(open(BASE))
 
     # size-key -> field -> {batch: samples}; seeded from the base artifact
@@ -85,10 +96,16 @@ def main():
             per_key = contribs.setdefault(key, {})
             for k, v in row.items():
                 if k.endswith("_runs") and isinstance(v, list):
+                    if any(k.startswith(op) for op in reset):
+                        # implementation changed this round: the base
+                        # samples measure the old code — drop them (the
+                        # derived fields get recomputed from new logs)
+                        rows_by_key[key].pop(k, None)
+                        continue
                     per_key.setdefault(k, {})["r08"] = v
 
     def classify(r: dict) -> tuple[str, int] | None:
-        if any(k.startswith("streaming_") for k in r):
+        if "n_docs" in r and any(k.startswith("streaming_") for k in r):
             return ("streaming_throughput", r["n_docs"])
         if "n_docs" in r:
             return ("dedup_throughput", r["n_docs"])
@@ -138,7 +155,13 @@ def main():
         "un-tagged invocations concatenate instead of overwriting. New "
         "streaming_throughput section: full Structured Streaming runs "
         "(8 availableNow micro-batches, noop sink, fresh checkpoint "
-        "per repeat).",
+        "per repeat)."
+        + (
+            f" Reset (implementation changed r9, old samples dropped): "
+            f"{sorted(reset)}."
+            if reset
+            else ""
+        ),
     }
     for section, (size_field, _) in sections.items():
         out[section] = sorted(
