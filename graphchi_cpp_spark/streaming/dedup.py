@@ -98,6 +98,18 @@ def streaming_lsh_candidates(
     within a micro-batch members are admitted in ascending doc_id
     order, so the emitted pair SET equals the batch candidate set when
     every doc fits the state bound — pytest asserts that equivalence.
+
+    Throughput shape (measured r9, THROUGHPUT_r09: 2.2k docs/s at 1M
+    docs / 8 micro-batches, vs 75.7k docs/s for the JVM-side
+    streaming_exact_dedup on the same corpus): the cost is the per-KEY
+    Python invocation of applyInPandasWithState — each doc fans out to
+    ``bands`` group keys, so a 125k-doc micro-batch makes ~1M state
+    round-trips. If you need an order of magnitude more ingest rate,
+    trade operator purity for a foreachBatch design: per micro-batch,
+    band the batch, equi-JOIN it against an accumulating bucket-
+    membership table (scratch parquet / Delta), append, emit — the same
+    candidate contract at JVM join speed, with the membership table as
+    explicit state you compact/expire yourself.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
