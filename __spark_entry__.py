@@ -561,6 +561,63 @@ def _register_pipeline_ops():
             shutil.rmtree(d, ignore_errors=True)
         return spark.table(sink).select("doc_a", "doc_b").distinct()
 
+    @query("streaming_lsh_batched", lsh_candidates_sql())
+    def q_streaming_lsh_batched(spark, sf_dir):
+        # the JVM-join foreachBatch variant of streaming_lsh_candidates
+        # (streaming/dedup.py BatchedLshDedup), run as a REAL readStream
+        # + foreachBatch over three interleaved micro-batches; the
+        # accumulated pair set must hash-match the same batch SQL oracle
+        import json as _json
+        import os
+        import shutil
+        import tempfile
+
+        from graphchi_cpp_spark.streaming.dedup import BatchedLshDedup
+
+        d = tempfile.mkdtemp(prefix="graft_stream_lshb_")
+        pairs: set = set()
+        try:
+            indir = os.path.join(d, "in")
+            os.makedirs(indir)
+            rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+            for b in range(3):
+                with open(os.path.join(indir, f"b{b}.json"), "w") as f:
+                    for i, r in enumerate(rows):
+                        if i % 3 == b:
+                            f.write(
+                                _json.dumps(
+                                    {"doc_id": r["doc_id"], "text": r["text"]}
+                                )
+                                + "\n"
+                            )
+            dedup = BatchedLshDedup(os.path.join(d, "state"))
+
+            def handle(batch_df, batch_id):
+                pairs.update(
+                    (r["doc_a"], r["doc_b"])
+                    for r in dedup.process(batch_df, batch_id).collect()
+                )
+
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(indir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("streaming_lsh_batched run exceeded 600s")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(
+            sorted(pairs), "doc_a long, doc_b long"
+        )
+
     @query("minhash_dedup", minhash_dedup_pairs_sql(threshold=0.3))
     def q_minhash_dedup(spark, sf_dir):
         return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.3)

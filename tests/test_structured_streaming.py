@@ -441,3 +441,57 @@ def test_streaming_lsh_evict_idle_removes_state_rows(spark):
     assert pairs == {(1, 2)}
     # both band buckets were evicted after sitting idle past the TTL
     assert removed >= 2
+
+
+def test_batched_lsh_dedup_matches_batch_and_is_idempotent(spark, sf_dir):
+    """The foreachBatch JVM-join streaming LSH variant must emit exactly
+    the batch lsh_candidates pair set when the corpus replays across
+    micro-batches, AND reprocessing a batch id (foreachBatch retry
+    semantics) must neither duplicate state nor change the pair set."""
+    from graphchi_cpp_spark.operators.dedup import lsh_candidates
+    from graphchi_cpp_spark.streaming.dedup import BatchedLshDedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id % 4 = 0")
+    )
+    rows = docs.collect()
+    expected = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidates(docs).collect()
+    }
+    assert expected, "fixture must contain near-dup candidates"
+
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "state")
+        dedup = BatchedLshDedup(state)
+        got: set = set()
+        chunks = [
+            [r for i, r in enumerate(rows) if i % 3 == b] for b in range(3)
+        ]
+        for b, chunk in enumerate(chunks):
+            batch_df = spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in chunk], ["doc_id", "text"]
+            )
+            pairs = dedup.process(batch_df, b)
+            got.update((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+        assert got == expected
+
+        # retry batch 1: same pairs back, state not duplicated
+        batch_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in chunks[1]], ["doc_id", "text"]
+        )
+        retry = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.process(batch_df, 1).collect()
+        }
+        assert retry <= expected
+        n_state = spark.read.parquet(state).count()
+        # one banded row per (doc, band): 8 bands x corpus size, exactly once
+        assert n_state == 8 * len(rows)
+
+        # expiry: keep only the last batch partition -> batch-0/1 docs
+        # stop pairing; a replay of batch 0 now only pairs within itself
+        # and against batch 2's retained members
+        assert dedup.expire(keep_last=1) == 2
+        assert len(dedup._batch_dirs()) == 1

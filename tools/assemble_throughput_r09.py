@@ -53,6 +53,9 @@ RECOMPUTE = {
     "streaming_lsh_candidates": ("streaming_lsh_candidates_s",
                                  "streaming_lsh_candidates_docs_per_s",
                                  lambda m, s: int(m / s)),
+    "streaming_lsh_batched": ("streaming_lsh_batched_s",
+                              "streaming_lsh_batched_docs_per_s",
+                              lambda m, s: int(m / s)),
 }
 
 

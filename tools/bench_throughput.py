@@ -352,17 +352,62 @@ def main():
             finally:
                 shutil.rmtree(ckpt, ignore_errors=True)
 
-        for key, mk in (
-            ("streaming_exact_dedup", lambda st: streaming_exact_dedup(st)),
+        def run_batched_lsh():
+            # the foreachBatch JVM-join variant: same readStream replay,
+            # per-batch banded-join against parquet state
+            from graphchi_cpp_spark.streaming.dedup import BatchedLshDedup
+
+            state = tempfile.mkdtemp(prefix="stream_bench_lshb_")
+            ckpt = tempfile.mkdtemp(prefix="stream_bench_ckptb_")
+            try:
+                dedup = BatchedLshDedup(state)
+
+                def handle(batch_df, batch_id):
+                    # count() drives the full candidate join; pairs would
+                    # stream to a sink in production
+                    dedup.process(
+                        batch_df.select("doc_id", "text"), batch_id
+                    ).count()
+
+                stream = (
+                    spark.readStream.schema(
+                        "doc_id long, text string, ts timestamp"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .json(src)
+                )
+                q = (
+                    stream.writeStream.foreachBatch(handle)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not q.awaitTermination(3600):
+                    q.stop()
+                    raise TimeoutError("streaming bench run exceeded 3600s")
+            finally:
+                shutil.rmtree(state, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+        for key, fn in (
+            (
+                "streaming_exact_dedup",
+                lambda: run_stream(lambda st: streaming_exact_dedup(st)),
+            ),
             (
                 "streaming_lsh_candidates",
                 # production shape: bounded state via TTL (idle buckets
                 # stop pairing after 1h of processing time)
-                lambda st: streaming_lsh_candidates(st, state_ttl_ms=3_600_000),
+                lambda: run_stream(
+                    lambda st: streaming_lsh_candidates(
+                        st, state_ttl_ms=3_600_000
+                    )
+                ),
             ),
+            ("streaming_lsh_batched", run_batched_lsh),
         ):
             try:
-                s, runs = timed(spark, lambda: run_stream(mk), repeats)
+                s, runs = timed(spark, fn, repeats)
                 row[f"{key}_s"] = s
                 row[f"{key}_runs"] = runs
                 row[f"{key}_docs_per_s"] = int(n_docs / s)
