@@ -92,7 +92,16 @@ def streaming_lsh_candidates(
     graphchi_dynamicgraph_engine.hpp:299-303``) — state that outlives
     its usefulness window is flushed, not kept forever. Without a TTL,
     state grows with the distinct band-key space forever: fine for a
-    bounded corpus replay, wrong for a true unbounded stream.
+    bounded corpus replay, wrong for a true unbounded stream — calling
+    without ``state_ttl_ms`` emits a ``UserWarning`` saying so (and
+    pointing rate-bound deployments at ``BatchedLshDedup``).
+
+    Checkpoint compatibility: the state schema is the original
+    ``ids array<long>`` when ``state_ttl_ms`` is None (pre-TTL
+    checkpoints keep restoring) and ``ids array<long>, last_ms long``
+    when a TTL is set — toggling the TTL on an existing stream
+    therefore fails state-store schema validation; start a fresh
+    checkpoint when changing it.
 
     Determinism: signatures are md5-derived (cross-engine stable) and
     within a micro-batch members are admitted in ascending doc_id
@@ -109,10 +118,33 @@ def streaming_lsh_candidates(
     the same candidate contract: 16.5k docs/s on the same corpus
     (7.4×), with the membership table as explicit, compactable state.
     """
+    import warnings
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from graphchi_cpp_spark.operators.dedup import banded_keys
+
+    if state_ttl_ms is None:
+        warnings.warn(
+            "streaming_lsh_candidates without state_ttl_ms keeps one "
+            "state row per distinct (band, band_key) FOREVER and pays a "
+            "Python state round-trip per key per micro-batch (~2.2k "
+            "docs/s measured at 1M docs). For unbounded streams set "
+            "state_ttl_ms (+ evict_idle for continuous triggers); for "
+            "ingest-rate-bound deployments prefer BatchedLshDedup "
+            "(same candidate contract, ~7x the throughput).",
+            stacklevel=2,
+        )
+
+    # State schema: TTL-less streams keep the original single-field
+    # layout ("ids array<long>") so checkpoints written before the TTL
+    # feature existed keep restoring. Setting state_ttl_ms switches to
+    # the two-field layout ("ids, last_ms") — a CHECKPOINT-COMPAT
+    # BREAK: enabling (or disabling) the TTL on an existing stream
+    # fails state-store schema validation; start a fresh checkpoint
+    # when changing it.
+    track_ts = state_ttl_ms is not None
 
     banded = banded_keys(stream, text_col, n, bands, rows_per_band)
 
@@ -124,10 +156,12 @@ def streaming_lsh_candidates(
             # this batch — physically drop the bucket's state row
             state.remove()
             return
-        now = state.getCurrentProcessingTimeMs() if state_ttl_ms else 0
+        now = state.getCurrentProcessingTimeMs() if track_ts else 0
         ids: list[int] = []
         if state.exists:
-            stored_ids, last_ms = state.get
+            stored = state.get
+            stored_ids = stored[0]
+            last_ms = stored[1] if track_ts else 0
             # TTL check at data time: the bucket's horizon lapsed
             # between batches — start fresh, don't pair with members
             # older than the TTL
@@ -150,7 +184,7 @@ def streaming_lsh_candidates(
                 dropped += 1
         if dropped and overflow_acc is not None:
             overflow_acc.add(dropped)
-        state.update((ids, now))
+        state.update((ids, now) if track_ts else (ids,))
         if evict_idle and state_ttl_ms:
             state.setTimeoutDuration(state_ttl_ms)
         if out_a:
@@ -164,7 +198,9 @@ def streaming_lsh_candidates(
     return banded.groupBy("band", "band_key").applyInPandasWithState(
         update,
         outputStructType="doc_a long, doc_b long",
-        stateStructType="ids array<long>, last_ms long",
+        stateStructType=(
+            "ids array<long>, last_ms long" if track_ts else "ids array<long>"
+        ),
         outputMode="append",
         timeoutConf=timeout,
     )
@@ -195,6 +231,15 @@ class BatchedLshDedup:
     with the retention window under the operator's control instead of
     the state store's.
 
+    The state directory is listed and expired through the Hadoop
+    FileSystem API resolved FROM the ``state_dir`` URI itself, so any
+    scheme the cluster's Hadoop conf can serve works identically:
+    bare local paths, ``file://``, ``hdfs://``, ``s3a://``. (Earlier
+    revisions used driver-local ``os.listdir``/``shutil.rmtree``,
+    which silently saw an empty state dir for non-local URIs and lost
+    every cross-batch pair — the production deployment this operator
+    exists for.)
+
     Usage::
 
         dedup = BatchedLshDedup(state_dir)
@@ -218,27 +263,47 @@ class BatchedLshDedup:
         self.bands = bands
         self.rows_per_band = rows_per_band
 
-    def _batch_dirs(self) -> list[str]:
-        import os
+    @staticmethod
+    def _resolve_spark(spark=None):
+        if spark is not None:
+            return spark
+        from pyspark.sql import SparkSession
 
-        if not os.path.isdir(self.state_dir):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "BatchedLshDedup needs an active SparkSession to "
+                "reach its state dir; pass spark= explicitly"
+            )
+        return spark
+
+    def _fs_and_path(self, spark=None):
+        """(Hadoop FileSystem, Path-ctor, root Path) for ``state_dir``,
+        resolved by the URI's own scheme — local paths, file://,
+        hdfs://, s3a:// all route to the right implementation."""
+        spark = self._resolve_spark(spark)
+        path_ctor = spark._jvm.org.apache.hadoop.fs.Path
+        path = path_ctor(self.state_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, path_ctor, path
+
+    def _batch_dirs(self, spark=None) -> list[str]:
+        """Names of the ``batch_id=N`` state partitions, ascending N."""
+        fs, _path_ctor, path = self._fs_and_path(spark)
+        if not fs.exists(path):
             return []
-        return sorted(
-            (
-                d
-                for d in os.listdir(self.state_dir)
-                if d.startswith("batch_id=")
-            ),
-            key=lambda d: int(d.split("=")[1]),
-        )
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(path)
+            if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+        ]
+        return sorted(names, key=lambda d: int(d.split("=")[1]))
 
     def process(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Candidate pairs this micro-batch adds: batch docs vs stored
         members (cross-batch) plus batch-internal pairs. Returns an
         eagerly-materialized (doc_a, doc_b) DataFrame — safe to write
         after the state append below has already happened."""
-        import os
-
         from graphchi_cpp_spark.operators.dedup import banded_keys
 
         spark = batch_df.sparkSession
@@ -246,9 +311,10 @@ class BatchedLshDedup:
             batch_df, self.text_col, self.n, self.bands, self.rows_per_band
         ).localCheckpoint(eager=True)
 
+        root = self.state_dir.rstrip("/")
         prior = [
-            os.path.join(self.state_dir, d)
-            for d in self._batch_dirs()
+            f"{root}/{d}"
+            for d in self._batch_dirs(spark)
             if int(d.split("=")[1]) != batch_id  # retry: exclude own state
         ]
         parts = []
@@ -278,21 +344,20 @@ class BatchedLshDedup:
         pairs = pairs.distinct().localCheckpoint(eager=True)
 
         # per-batch overwrite => idempotent under foreachBatch retries
-        b.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, f"batch_id={batch_id}")
-        )
+        b.write.mode("overwrite").parquet(f"{root}/batch_id={batch_id}")
         return pairs
 
-    def expire(self, keep_last: int) -> int:
+    def expire(self, keep_last: int, spark=None) -> int:
         """Drop all but the newest ``keep_last`` batch partitions;
         returns how many were deleted. Docs older than the retention
-        window stop pairing — the explicit-state TTL."""
-        import shutil
-
-        dirs = self._batch_dirs()
+        window stop pairing — the explicit-state TTL. Deletion goes
+        through the Hadoop FileSystem for ``state_dir``'s scheme, so
+        it works on object stores, not just the driver's local disk."""
+        spark = self._resolve_spark(spark)
+        fs, path_ctor, _root = self._fs_and_path(spark)
+        dirs = self._batch_dirs(spark)
         drop = dirs[:-keep_last] if keep_last > 0 else dirs
-        import os
-
+        root = self.state_dir.rstrip("/")
         for d in drop:
-            shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+            fs.delete(path_ctor(f"{root}/{d}"), True)
         return len(drop)

@@ -495,3 +495,64 @@ def test_batched_lsh_dedup_matches_batch_and_is_idempotent(spark, sf_dir):
         # and against batch 2's retained members
         assert dedup.expire(keep_last=1) == 2
         assert len(dedup._batch_dirs()) == 1
+
+
+def test_batched_lsh_dedup_state_on_file_uri(spark, sf_dir):
+    """Cluster-safety contract: the state dir is listed/expired through
+    the Hadoop FileSystem API resolved from the URI scheme, so a
+    ``file://`` URI (the local stand-in for hdfs://, s3a://) must work
+    end-to-end — the old os.listdir implementation saw such URIs as a
+    missing directory and silently emitted zero cross-batch pairs."""
+    from graphchi_cpp_spark.operators.dedup import lsh_candidates
+    from graphchi_cpp_spark.streaming.dedup import BatchedLshDedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id % 4 = 0")
+    )
+    rows = docs.collect()
+    expected = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidates(docs).collect()
+    }
+    assert expected
+
+    with tempfile.TemporaryDirectory() as d:
+        state_uri = "file://" + os.path.join(d, "state")
+        dedup = BatchedLshDedup(state_uri)
+        got: set = set()
+        chunks = [
+            [r for i, r in enumerate(rows) if i % 2 == b] for b in range(2)
+        ]
+        for b, chunk in enumerate(chunks):
+            batch_df = spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in chunk], ["doc_id", "text"]
+            )
+            pairs = dedup.process(batch_df, b)
+            got.update((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+        # cross-batch recall through the URI state dir, not just intra-batch
+        assert got == expected
+        assert len(dedup._batch_dirs()) == 2
+        # expiry deletes through the same FS API
+        assert dedup.expire(keep_last=1) == 1
+        assert dedup._batch_dirs() == ["batch_id=1"]
+
+
+def test_streaming_lsh_warns_without_ttl(spark):
+    """Unbounded-state foot-gun guidance (VERDICT r9 task 6): calling
+    streaming_lsh_candidates with no state_ttl_ms must emit a
+    UserWarning pointing at the TTL knob and BatchedLshDedup; with a
+    TTL set it must stay silent."""
+    import warnings
+
+    import pytest as _pytest
+
+    from graphchi_cpp_spark.streaming.dedup import streaming_lsh_candidates
+
+    with tempfile.TemporaryDirectory() as d:
+        stream = spark.readStream.schema("doc_id long, text string").json(d)
+        with _pytest.warns(UserWarning, match="BatchedLshDedup"):
+            streaming_lsh_candidates(stream)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            streaming_lsh_candidates(stream, state_ttl_ms=60_000)
