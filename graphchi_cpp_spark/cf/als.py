@@ -35,7 +35,7 @@ import os
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType
 
 D_DEFAULT = 5  # als.hpp:68 NLATENT
 LAMBDA_DEFAULT = 0.065  # als.cpp lambda default
@@ -149,6 +149,85 @@ def solve_blocks(df: DataFrame) -> int:
     return max(8, df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _batched_solve_udf(d: int, reg: float):
+    """Arrow-batched D×D normal-equation solver over ONE row per entity:
+    the packed upper triangle of (AᵀA + λ·n·I) and the RHS arrive as two
+    array columns, the whole Arrow batch is solved with a single stacked
+    ``np.linalg.solve`` call — no per-entity Python loop. Groups whose
+    sums went NaN (the weighted path's missing-weight poisoning) come
+    back as NaN factors instead of failing the batch."""
+    iu = np.triu_indices(d)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def solve(ata: pd.Series, rhs: pd.Series) -> pd.Series:
+        n = len(ata)
+        packed = np.stack(ata.to_numpy())
+        b = np.stack(rhs.to_numpy())
+        A = np.zeros((n, d, d))
+        A[:, iu[0], iu[1]] = packed
+        A[:, iu[1], iu[0]] = packed
+        x = np.full((n, d), np.nan)
+        ok = np.isfinite(packed).all(axis=1) & np.isfinite(b).all(axis=1)
+        if ok.any():
+            x[ok] = np.linalg.solve(A[ok], b[ok])
+        return pd.Series(x.tolist())
+
+    return solve
+
+
+def _solve_side_dn(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    group_col: str,
+    other_col: str,
+    d: int,
+    reg: float,
+    weight_col: str | None = None,
+    bcast: bool = False,
+) -> DataFrame:
+    """General-D half-step with the d=2 execution shape: the per-RATING
+    work — products of fixed-factor components — is a JVM grouped
+    aggregation (d(d+1)/2 Gram sums + d RHS sums, map-side combined), so
+    Python only ever sees one row per ENTITY, solved as a stacked batch
+    (``_batched_solve_udf``). Replaces the former per-entity
+    ``np.linalg.solve`` loop inside applyInPandas, whose Python-loop
+    cost scaled with the number of users rather than the Arrow batch
+    count. At reg=0 a rank-deficient group is singular: LAPACK raises
+    for the batch, same failure as the old per-group solve."""
+    f = fixed.select(
+        F.col(other_col),
+        *[F.col("factors")[j].alias(f"_f{j}") for j in range(d)],
+    )
+    if bcast:
+        f = F.broadcast(f)
+    # NaN (not null) for missing weights, as in the d=2 path: F.sum skips
+    # nulls while λ·n still counts the row — NaN poisons the group instead
+    w = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(float("nan")))
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    n = F.count(F.lit(1))
+    aggs = []
+    for j in range(d):
+        for k in range(j, d):
+            e = F.sum(w * F.col(f"_f{j}") * F.col(f"_f{k}"))
+            if j == k:
+                e = e + F.lit(reg) * n  # reference scales λ by #obs
+            aggs.append(e.alias(f"_a{j}_{k}"))
+    for j in range(d):
+        aggs.append(F.sum(w * F.col("rating") * F.col(f"_f{j}")).alias(f"_r{j}"))
+    s = ratings.join(f, other_col).groupBy(group_col).agg(*aggs)
+    solve = _batched_solve_udf(d, reg)
+    return s.select(
+        F.col(group_col).cast("long").alias(group_col),
+        solve(
+            F.array(*[f"_a{j}_{k}" for j in range(d) for k in range(j, d)]),
+            F.array(*[f"_r{j}" for j in range(d)]),
+        ).alias("factors"),
+    )
+
+
 def _solve_side(
     ratings: DataFrame,
     fixed: DataFrame,
@@ -163,60 +242,23 @@ def _solve_side(
     factors of ``other_col``.
 
     d=2 (the registered-query configuration) dispatches to the
-    expression-only closed-form path — no Python in the plan. For d>2,
-    grouping by a hash BLOCK (not per-entity) batches thousands of tiny
-    D×D solves per Arrow transfer — per-group pandas overhead would
-    otherwise dominate (one IPC round-trip per user). Inside a block the
-    solves are a vectorized numpy loop.
+    expression-only closed-form path — no Python in the plan. d>2 runs
+    the same grouped-Gram-sums shape with a single Arrow-batched stacked
+    solve over one row per entity (``_solve_side_dn``).
 
     ``bcast``: broadcast the fixed factor table into the gather join —
     with ``ratings`` hash-partitioned by ``group_col`` the whole
     half-step then runs without shuffling a single rating row (the
-    grouped aggregation is already co-located). See ``als()``.
+    grouped aggregation is already co-located, and the batched solve is
+    a projection that preserves the partitioning). See ``als()``.
     """
     if d == 2:
         return _solve_side_d2(
             ratings, fixed, group_col, other_col, reg, weight_col, bcast
         )
-    schema = StructType(
-        [
-            StructField(group_col, LongType()),
-            StructField("factors", ArrayType(DoubleType())),
-        ]
+    return _solve_side_dn(
+        ratings, fixed, group_col, other_col, d, reg, weight_col, bcast
     )
-
-    weighted = weight_col is not None
-
-    def solve_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys, out = [], []
-        eye = reg * np.eye(d)
-        for key, grp in pdf.groupby(group_col, sort=True):
-            A = np.vstack(grp["_f"].to_numpy())
-            b = grp["rating"].to_numpy()
-            if weighted:
-                # wALS (wals.cpp): solve (AᵀWA + λ·n·I)x = AᵀWb
-                w = grp["_w"].to_numpy()
-                Aw = A * w[:, None]
-                ata = A.T @ Aw + eye * len(b)
-                x = np.linalg.solve(ata, Aw.T @ b)
-            else:
-                ata = A.T @ A + eye * len(b)  # reference scales λ by #obs
-                x = np.linalg.solve(ata, A.T @ b)
-            keys.append(key)
-            out.append(x.tolist())
-        return pd.DataFrame({group_col: keys, "factors": out})
-
-    extra = [F.col(weight_col).cast("double").alias("_w")] if weighted else []
-    joined = ratings.join(
-        fixed.select(F.col(other_col), F.col("factors").alias("_f")), other_col
-    ).select(
-        group_col,
-        "rating",
-        "_f",
-        F.pmod(F.col(group_col), F.lit(solve_blocks(ratings))).alias("_blk"),
-        *extra,
-    )
-    return joined.groupBy("_blk").applyInPandas(solve_block, schema)
 
 
 def predict(
@@ -266,36 +308,42 @@ def als(
         cols.append(F.col(weight_col))
     ratings = ratings.select(*cols).cache()
 
-    # d=2 zero-shuffle iterations (the pagerank broadcast-mode pattern,
-    # algos/pagerank.py): cache the ratings TWICE, hash-partitioned by
-    # each half-step's GROUP key, and broadcast the fixed factor table
-    # into the gather join when it fits the row cap — each half-step is
-    # then scan-cache → probe shared map → co-located aggregation, with
-    # no rating row ever shuffled (vs 2 × |ratings| shuffle rows per
-    # iteration otherwise: measured 3.0× — 200s → 66s median for
-    # 3 iterations at 100M ratings, THROUGHPUT_r09). The second copy is
-    # the classic bucket-both-ways layout;
-    # at warehouse scale the same comes from bucketing the ratings table
-    # by user AND by item at write time. Above the cap (broadcast cost
-    # scales as rows × executors) the single-cache shuffle plan stays.
-    bcast_cap = int(os.environ.get("SPARK_GRAFT_ALS_BCAST_MAX_ROWS", 50_000_000))
-    two_way = d == 2
-    if two_way:
-        p = int(
-            ratings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-        )
-        ratings_u = ratings.repartition(p, "user").cache()
-        ratings_i = ratings.repartition(p, "item").cache()
-        n_items = ratings.select("item").distinct().count()
-        n_users = ratings.select("user").distinct().count()
-        bc_items, bc_users = n_items <= bcast_cap, n_users <= bcast_cap
-    else:
-        ratings_u = ratings_i = ratings
-        bc_items = bc_users = False
+    # Zero-shuffle iterations at ANY d (the pagerank broadcast-mode
+    # pattern, algos/pagerank.py): cache the ratings TWICE,
+    # hash-partitioned by each half-step's GROUP key, and broadcast the
+    # fixed factor table into the gather join when it fits the row cap —
+    # each half-step is then scan-cache → probe shared map → co-located
+    # aggregation (+ a partition-preserving batched-solve projection for
+    # d>2), with no rating row ever shuffled (vs 2 × |ratings| shuffle
+    # rows per iteration otherwise: measured 3.0× — 200s → 66s median
+    # for 3 iterations at 100M ratings d=2, THROUGHPUT_r09). The second
+    # copy is the classic bucket-both-ways layout; at warehouse scale
+    # the same comes from bucketing the ratings table by user AND by
+    # item at write time. Above the cap (broadcast payload scales as
+    # rows × d × executors, so the row cap shrinks with d) the gather
+    # join falls back to shuffle.
+    bcast_cap = int(
+        int(os.environ.get("SPARK_GRAFT_ALS_BCAST_MAX_ROWS", 50_000_000))
+        * 2
+        / max(2, d)
+    )
+    p = int(
+        ratings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    ratings_u = ratings.repartition(p, "user").cache()
+    ratings_i = ratings.repartition(p, "item").cache()
+    # setup stats/init derive from the per-side caches (distinct is then
+    # co-located); the base cache only serves this setup fan-out and is
+    # released below — keeping all three hot tripled cache pressure for
+    # the whole run (ADVICE r9)
+    n_users = ratings_u.select("user").distinct().count()
+    n_items = ratings_i.select("item").distinct().count()
+    bc_items, bc_users = n_items <= bcast_cap, n_users <= bcast_cap
 
     item_f = _init_factors(
-        ratings.select("item").distinct(), "item", d
+        ratings_i.select("item").distinct(), "item", d
     ).localCheckpoint(eager=True)
+    ratings.unpersist()
     user_f = None
     history: list[dict] = []
     prev_val = float("inf")
@@ -344,6 +392,11 @@ def als(
         history.append(row)
     for df in spent[:-2]:
         df.unpersist()
+    # the returned factor frames were materialized by the RMSE actions;
+    # the per-side rating caches are done (ADVICE r9: don't leave them
+    # pinned after the run)
+    ratings_u.unpersist()
+    ratings_i.unpersist()
     return user_f, item_f, history
 
 

@@ -153,7 +153,7 @@ def main():
     # paying for the whole section — mirrors SPARK_GRAFT_DEDUP_OPS
     graph_ops = set(
         os.environ.get(
-            "SPARK_GRAFT_GRAPH_OPS", "pagerank,wcc,wcc_star,triangles,als"
+            "SPARK_GRAFT_GRAPH_OPS", "pagerank,wcc,wcc_star,triangles,als,als_d5"
         ).split(",")
     )
     results = []
@@ -206,10 +206,13 @@ def main():
             # rate needs a zero guard
             row["triangles_edges_per_s"] = int(m / tri_s) if tri_s > 0 else None
 
-        if "als" in graph_ops:
-            # ALS ratings-throughput (baseline row: 1.7M ratings/s/iter):
-            # synthetic (user, item, rating) at the same row count, d=2
-            # expression path, 3 iterations
+        if graph_ops & {"als", "als_d5"}:
+            # ALS ratings-throughput (baseline row: 1.7M ratings/s/iter,
+            # measured at D=5 — als.hpp:68): synthetic (user, item,
+            # rating) at the same row count, 3 iterations. "als" times
+            # the d=2 closed-form path; "als_d5" times the baseline's
+            # own configuration through the grouped-Gram + batched-solve
+            # path, so the BASELINE comparison is apples-to-apples.
             n_users, n_items = max(1000, m // 10), max(500, m // 100)
             ratings = (
                 spark.range(m)
@@ -222,12 +225,20 @@ def main():
                 )
                 .localCheckpoint(eager=True)
             )
-            als_s, als_runs = timed(
-                spark, lambda: als(ratings, d=2, iterations=3), repeats
-            )
-            row["als_3iter_s"] = als_s
-            row["als_runs"] = als_runs
-            row["als_ratings_per_s_per_iter"] = int(3 * m / als_s)
+            if "als" in graph_ops:
+                als_s, als_runs = timed(
+                    spark, lambda: als(ratings, d=2, iterations=3), repeats
+                )
+                row["als_3iter_s"] = als_s
+                row["als_runs"] = als_runs
+                row["als_ratings_per_s_per_iter"] = int(3 * m / als_s)
+            if "als_d5" in graph_ops:
+                als5_s, als5_runs = timed(
+                    spark, lambda: als(ratings, d=5, iterations=3), repeats
+                )
+                row["als_d5_3iter_s"] = als5_s
+                row["als_d5_runs"] = als5_runs
+                row["als_d5_ratings_per_s_per_iter"] = int(3 * m / als5_s)
             ratings.unpersist()
 
         results.append(row)
