@@ -75,7 +75,10 @@ def connected_components(
     count is read from the already-materialized state cache — same scan
     the old limit(1) early-exit probe did, one number instead of one bit.
     """
+    from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+
     spark = graph.edges.sparkSession
+    jan = CheckpointJanitor(spark)
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     e = graph.edges.select("src", "dst")
     edges = (
@@ -119,7 +122,14 @@ def connected_components(
         if n_active == 0:
             break
         if (it + 1) % checkpoint_every == 0:
-            v = v.localCheckpoint(eager=True).repartition(p, "id").cache()
+            # janitor: free the PREVIOUS checkpoint generation's blocks
+            # (plain unpersist can't — see checkpoints.py), and unpersist
+            # the pre-checkpoint state cache instead of leaking it until
+            # driver GC: at 100M-edge scale those leaks are exactly the
+            # block-manager pressure behind multi-x wall-time spread
+            ck = jan.checkpoint(v)
+            v.unpersist()
+            v = ck.repartition(p, "id").cache()
 
     edges.unpersist()
     return v.select("id", F.col("label").alias("component"))

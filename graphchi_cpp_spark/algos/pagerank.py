@@ -127,7 +127,16 @@ def _pagerank_broadcast(
     alone OOMs. The checkpoint costs one |V|-row exchange per superstep
     at the write-back join (checkpointed scans lose outputPartitioning)
     — still zero |E|-row shuffles, which is where the win lives.
+
+    Each superstep's checkpoint blocks are freed explicitly once the
+    next generation lands (CheckpointJanitor): DataFrame.unpersist does
+    not release a checkpointed RDD, so long tol-mode runs would
+    otherwise accrete ~|V| rows of storage per superstep until the
+    driver's ContextCleaner got around to it.
     """
+    from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+
+    jan = CheckpointJanitor(spark)
     for _ in range(max_iter):
         contrib = v.select(
             F.col("id").alias("src"),
@@ -147,8 +156,8 @@ def _pagerank_broadcast(
                     F.lit(RESET) + F.lit(DAMPING) * F.coalesce("_s", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        nv = jan.checkpoint(nv)
         if tol is not None:
             delta = (
                 nv.join(v.select("id", F.col("rank").alias("_old")), "id")
