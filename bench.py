@@ -114,7 +114,23 @@ def main():
         memo_before = dict(getattr(entrymod, "_MEMO", {}))
         runs: list[float] = []
         rows = None
+        # Iterative queries get ONE untimed warm-up execution first:
+        # their first run in a session pays query-specific codegen/JIT
+        # that min-of-N can't fully hide (pagerank BENCH spread 86.9% at
+        # n_runs=2 vs ~11% in the throughput tool, which warms up —
+        # VERDICT r9 task 8). Warm-up work is identical to a timed run
+        # (memo restored, caches cleared) but its wall time is discarded.
+        warmup = int(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_WARMUP", "1" if name in iterative else "0"
+            )
+        )
         try:
+            for _ in range(warmup):
+                entrymod._MEMO.clear()
+                entrymod._MEMO.update(memo_before)
+                spark.catalog.clearCache()
+                qs[name](spark, sf_dir).count()
             for _ in range(q_runs):
                 entrymod._MEMO.clear()
                 entrymod._MEMO.update(memo_before)
