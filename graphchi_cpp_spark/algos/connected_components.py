@@ -97,14 +97,23 @@ def connected_components(
     n_active = n_verts  # superstep 0: everything is active
 
     for it in range(max_iter):
-        frontier = v.filter("act").select(F.col("id").alias("src"), "label")
-        if n_active <= BCAST_FRONTIER_MAX:
-            frontier = F.broadcast(frontier)
-        msgs = (
-            edges.join(frontier, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("m"))
-        )
+        if it == 0:
+            # superstep 0: every vertex is active and label == id, so
+            # the gather join degenerates to min(src) per dst — the
+            # densest superstep loses its |E|-row join probe entirely
+            # (the shuffle of partial-aggregated mins remains)
+            msgs = edges.groupBy(F.col("dst").alias("id")).agg(
+                F.min("src").alias("m")
+            )
+        else:
+            frontier = v.filter("act").select(F.col("id").alias("src"), "label")
+            if n_active <= BCAST_FRONTIER_MAX:
+                frontier = F.broadcast(frontier)
+            msgs = (
+                edges.join(frontier, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("m"))
+            )
         nv = (
             v.join(msgs, "id", "left")
             .select(
