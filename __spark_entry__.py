@@ -834,6 +834,29 @@ def _register_pipeline_ops():
             ).alias("feat_sum"),
         )
 
+    # REAL PNG decode verified end-to-end: payload pixel bytes follow an
+    # exact integer formula, so DuckDB recomputes each decoded image's
+    # pixel sum without any PNG library (decode_png round-trips exactly)
+    @query(
+        "multimodal_png_decode",
+        """
+        SELECT i AS media_id,
+               CAST(4 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS width,
+               CAST(3 AS BIGINT) AS channels,
+               CAST((SELECT sum((i * 31 + j * 7) % 251) FROM range(36) t(j))
+                    AS BIGINT) AS pixel_sum
+        FROM range(100) r(i)
+        """,
+    )
+    def q_multimodal_png(spark, sf_dir):
+        from graphchi_cpp_spark.operators.multimodal import (
+            image_stats,
+            synthetic_png_media,
+        )
+
+        return image_stats(synthetic_png_media(spark, 100))
+
     @query("ann_cosine_topk", cosine_topk_sql("vec_id % 20 = 0", k=5))
     def q_ann_brute(spark, sf_dir):
         emb = _emb(spark, sf_dir)

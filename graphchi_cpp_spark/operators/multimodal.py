@@ -2,12 +2,14 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata
 structs; decode / resize / frame-sample are Arrow-batched pandas UDFs
-over ``mapInPandas``. Two REAL pure-python codecs are wired end-to-end —
-PPM images (``decode_ppm``, P6 binary + P3 ASCII) and PCM WAV audio
+over ``mapInPandas``. Three REAL pure-python codecs are wired
+end-to-end — PPM images (``decode_ppm``, P6 binary + P3 ASCII), PNG
+images (``decode_png``: stdlib ``zlib`` inflate + all five scanline
+filters, 8-bit grey/grey-alpha/RGB/RGBA/palette), and PCM WAV audio
 (``decode_wav`` via the stdlib ``wave`` module) — so the pipeline
 genuinely parses container → samples → features with no native libs.
-Other codecs (JPEG/PNG/MP3: the container has no decoders for them)
-fall back to a deterministic byte-level fake, clearly marked in
+Other codecs (JPEG/MP3: the container has no decoders for them) fall
+back to a deterministic byte-level fake, clearly marked in
 ``_decode_stub``'s dispatch, where a PIL/libav call drops in unchanged.
 
 Scale notes: binary payloads make rows heavy — keep
@@ -18,6 +20,8 @@ collect); feature outputs are narrow and shuffle-friendly.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -64,6 +68,21 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_png_media(spark, n: int = 100, h: int = 4, w: int = 3) -> DataFrame:
+    """Media table whose payloads are REAL PNGs of formula-deterministic
+    RGB pixels — byte k of image i is ``(i*31 + k*7) % 251`` — so an
+    external oracle can recompute the decoded pixel sums exactly without
+    a PNG library."""
+    rows = []
+    k = np.arange(h * w * 3, dtype=np.int64)
+    for i in range(n):
+        pix = ((i * 31 + k * 7) % 251).astype(np.float32) / 255.0
+        rows.append(
+            (i, "image", encode_png(pix.reshape(h, w, 3)), w, h, 0)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """REAL pure-python image decoder: binary (P6) and ASCII (P3) PPM →
     float32 array (h, w, 3) in [0, 1]. No native libs required."""
@@ -99,6 +118,133 @@ def encode_ppm(img: np.ndarray, maxval: int = 255) -> bytes:
     h, w, _ = img.shape
     body = (np.clip(img, 0.0, 1.0) * maxval).round().astype(np.uint8).tobytes()
     return f"P6\n{w} {h}\n{maxval}\n".encode() + body
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR color type -> channels per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    i = len(PNG_SIG)
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        yield ctype, payload[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + CRC
+        if ctype == b"IEND":
+            return
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
+    Each scanline is 1 filter byte + w*bpp data bytes; reconstruction is
+    sequential down rows (Up/Average/Paeth read the prior recon row) and,
+    within Sub/Average/Paeth rows, sequential across pixels — vectorized
+    per bpp-strided column block so the inner loop is w, not w*bpp."""
+    stride = w * bpp
+    raw = raw.reshape(h, 1 + stride)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, line = int(filters[y]), rows[y]
+        if f > 4:
+            raise ValueError(f"bad PNG filter byte {f} on scanline {y}")
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prior) & 0xFF
+        else:  # Sub / Average / Paeth need left-reconstructed bytes
+            rec = line.reshape(w, bpp).copy()
+            pr = prior.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                if f == 1:  # Sub
+                    rec[x] = (rec[x] + left) & 0xFF
+                elif f == 3:  # Average
+                    rec[x] = (rec[x] + ((left + pr[x]) >> 1)) & 0xFF
+                else:  # Paeth
+                    ul = pr[x - 1] if x else np.zeros(bpp, dtype=np.int32)
+                    p = left + pr[x] - ul
+                    pa, pb, pc = abs(p - left), abs(p - pr[x]), abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pr[x], ul)
+                    )
+                    rec[x] = (rec[x] + pred) & 0xFF
+                left = rec[x]
+            rec = rec.reshape(stride)
+        out[y] = rec
+        prior = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL pure-python PNG decoder (stdlib ``zlib`` + numpy): 8-bit
+    greyscale / grey+alpha / RGB / RGBA / palette, non-interlaced →
+    float32 array (h, w, channels) in [0, 1]. Adam7 interlace and
+    16-bit depths raise — this covers the PNGs a training pipeline
+    normalizes to, without native image libraries."""
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    idat, plte = [], None
+    w = h = depth = ctype_code = None
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, ctype_code, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG")
+            if ctype_code not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {ctype_code}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ctype_code]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError("PNG scanline data length mismatch")
+    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if ctype_code == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    return img.astype(np.float32) / 255.0
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, {1,2,3,4}) floats in [0,1] → 8-bit non-interlaced PNG bytes
+    (filter 0 rows; test round-trip + sink for resized tables)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    body = (np.clip(img, 0.0, 1.0) * 255).round().astype(np.uint8)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), body.reshape(h, w * ch)], axis=1
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> np.ndarray:
@@ -147,16 +293,19 @@ def _features_from_signal(x: np.ndarray, dim: int) -> np.ndarray:
 
 def _decode_stub(payload: bytes, kind: str, dim: int) -> np.ndarray:
     """Codec dispatch. REAL decoders handle PPM images (``P6``/``P3``
-    magic) and PCM WAV audio (``RIFF....WAVE`` magic) end-to-end — parse
-    the container, decode samples/pixels, resample to a length-``dim``
-    feature vector. Payloads in any OTHER format fall back to the
-    documented deterministic byte-level fake (the container has no
-    JPEG/PNG/MP3 libraries; a PIL/libav decoder drops into this dispatch
-    unchanged). Raises NotImplementedError for unregistered kinds."""
+    magic), PNG images (8-byte PNG signature) and PCM WAV audio
+    (``RIFF....WAVE`` magic) end-to-end — parse the container, decode
+    samples/pixels, resample to a length-``dim`` feature vector.
+    Payloads in any OTHER format fall back to the documented
+    deterministic byte-level fake (the container has no JPEG/MP3
+    libraries; a PIL/libav decoder drops into this dispatch unchanged).
+    Raises NotImplementedError for unregistered kinds."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder registered for kind={kind!r}")
     if kind == "image" and payload[:2] in (b"P6", b"P3"):
         return _features_from_signal(decode_ppm(payload).reshape(-1), dim)
+    if kind == "image" and payload[: len(PNG_SIG)] == PNG_SIG:
+        return _features_from_signal(decode_png(payload).reshape(-1), dim)
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _features_from_signal(decode_wav(payload), dim)
     # fallback: deterministic byte-level fake for undecodable codecs
@@ -243,6 +392,53 @@ def resize_images(
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("height", LongType()),
+        StructField("width", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode every image payload for REAL (PNG or PPM, by magic bytes)
+    and emit its true shape plus the exact integer sum of its 8-bit
+    pixel values — the decode-audit step of an ingest pipeline (shape
+    filters, corrupt-file triage) and an exactly-recomputable contract
+    for the correctness gate. Rows whose payload is neither PNG nor PPM
+    are passed through with NULL stats rather than failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "height", "width", "channels", "pixel_sum")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    if p[: len(PNG_SIG)] == PNG_SIG:
+                        img = decode_png(p)
+                    elif p[:2] in (b"P6", b"P3"):
+                        img = decode_ppm(p)
+                    else:
+                        raise ValueError("no registered image codec")
+                except (ValueError, NotImplementedError, zlib.error):
+                    for k in ("height", "width", "channels", "pixel_sum"):
+                        out[k].append(None)
+                    continue
+                h, w, ch = img.shape
+                out["height"].append(h)
+                out["width"].append(w)
+                out["channels"].append(ch)
+                out["pixel_sum"].append(int((img * 255).round().astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, IMAGE_STATS_SCHEMA
+    )
 
 
 def media_stats(media: DataFrame) -> DataFrame:

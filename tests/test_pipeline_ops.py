@@ -627,3 +627,131 @@ def test_real_ppm_and_wav_codecs_end_to_end(spark):
         str(int(v)) for v in (img * 255).round().astype(int).reshape(-1)
     )).encode()
     assert np.allclose(decode_ppm(p3), decode_ppm(ppm), atol=1e-6)
+
+
+def test_png_codec_round_trip_and_filters():
+    """REAL PNG codec: encode->decode round-trips every supported
+    channel count; scanlines written with each of the five PNG filter
+    types (forward-filtered by an independent per-spec reference here)
+    decode back to the original pixels; palette images resolve through
+    PLTE; Adam7 raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from graphchi_cpp_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.random((5, 4, ch)).astype(np.float32)
+        got = decode_png(encode_png(img))
+        assert got.shape == (5, 4, ch)
+        assert np.allclose(got, (img * 255).round() / 255.0, atol=1e-6)
+
+    def png_with_filters(pix, filters):
+        """Forward-filter per the PNG spec (independent scalar loops) and
+        wrap in minimal chunks — exercises the decoder's unfilter paths."""
+        h, w, ch = pix.shape
+        p = pix.astype(np.int32)
+        scan = bytearray()
+        prior = np.zeros((w, ch), dtype=np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            scan.append(f)
+            row = p[y]
+            for x in range(w):
+                for c in range(ch):
+                    a = int(row[x - 1][c]) if x else 0  # left (raw)
+                    b = int(prior[x][c])  # up (recon == raw: lossless)
+                    cc = int(prior[x - 1][c]) if x else 0  # upper-left
+                    v = int(row[x][c])
+                    if f == 0:
+                        enc = v
+                    elif f == 1:
+                        enc = v - a
+                    elif f == 2:
+                        enc = v - b
+                    elif f == 3:
+                        enc = v - ((a + b) >> 1)
+                    else:  # Paeth
+                        q = a + b - cc
+                        pa, pb, pc2 = abs(q - a), abs(q - b), abs(q - cc)
+                        pred = a if (pa <= pb and pa <= pc2) else (b if pb <= pc2 else cc)
+                        enc = v - pred
+                    scan.append(enc & 0xFF)
+            prior = row
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+            )
+
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        return (
+            PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+
+    pix = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(png_with_filters(pix, filters))
+        assert np.array_equal((got * 255).round().astype(np.uint8), pix), filters
+
+    # palette: 2-entry PLTE, indices resolve to RGB
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + row.tobytes() for row in idx)
+    pal_png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got = (decode_png(pal_png) * 255).round().astype(np.uint8)
+    assert got[0, 0].tolist() == [255, 0, 0] and got[0, 1].tolist() == [0, 0, 255]
+
+    adam7 = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(adam7)
+
+
+def test_png_dispatch_in_extract_features(spark):
+    """A PNG payload takes the real-decode path inside mapInPandas: the
+    emitted feature equals a local decode of the same bytes, and differs
+    from what the byte-level fallback would produce."""
+    import numpy as np
+
+    from graphchi_cpp_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _features_from_signal,
+        decode_png,
+        encode_png,
+        extract_features,
+    )
+
+    img = np.linspace(0.0, 1.0, 6 * 4 * 3, dtype=np.float32).reshape(6, 4, 3)
+    png = encode_png(img)
+    media = spark.createDataFrame([(0, "image", png, 4, 6, 0)], MEDIA_SCHEMA)
+    (row,) = extract_features(media, dim=8).collect()
+    want = _features_from_signal(decode_png(png).reshape(-1), 8)
+    assert np.allclose(np.array(row["feature"]), want, atol=1e-6)
+    fallback = np.frombuffer(png, dtype=np.uint8).astype(np.float32)[:8] / 255.0
+    assert not np.allclose(np.array(row["feature"]), fallback)
