@@ -351,14 +351,33 @@ def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
     )
 
 
+def bilinear_resize(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """(h, w, ch) float image → (height, width, ch) by separable bilinear
+    interpolation (pure numpy; the standard normalize-resolution kernel)."""
+    h, w, _ = img.shape
+    ys = np.linspace(0.0, h - 1, height)
+    xs = np.linspace(0.0, w - 1, width)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).astype(np.float32)[:, None, None]
+    fx = (xs - x0).astype(np.float32)[None, :, None]
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:
     """Image resize: mapInPandas over image rows, emitting the resized
     payload with updated metadata — the training-pipeline normalize-
-    resolution step. The codec is the documented stub (deterministic
-    np.interp byte resample to exactly width·height bytes); a real
-    PIL/opencv decode-resize-encode drops into the same loop unchanged.
+    resolution step. Payloads the codecs can decode (PNG / PPM by magic
+    bytes) take the REAL path: decode → bilinear resize → re-encode as
+    PNG (the normalized output format). Undecodable payloads keep the
+    documented deterministic np.interp byte-resample fallback (exactly
+    width·height bytes), where a PIL/opencv call drops in unchanged.
     Output schema matches MEDIA_SCHEMA so resized tables compose with
     every other media operator."""
 
@@ -367,6 +386,20 @@ def resize_images(
         for pdf in batches:
             payloads = []
             for p in pdf["payload"]:
+                try:
+                    if p[: len(PNG_SIG)] == PNG_SIG:
+                        img = decode_png(p)
+                    elif p[:2] in (b"P6", b"P3"):
+                        img = decode_ppm(p)
+                    else:
+                        img = None
+                except (ValueError, NotImplementedError, zlib.error):
+                    img = None
+                if img is not None:
+                    payloads.append(
+                        encode_png(bilinear_resize(img, height, width))
+                    )
+                    continue
                 arr = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
                 if len(arr) == 0:
                     # empty payload: np.interp raises on an empty xp; emit

@@ -755,3 +755,42 @@ def test_png_dispatch_in_extract_features(spark):
     assert np.allclose(np.array(row["feature"]), want, atol=1e-6)
     fallback = np.frombuffer(png, dtype=np.uint8).astype(np.float32)[:8] / 255.0
     assert not np.allclose(np.array(row["feature"]), fallback)
+
+
+def test_resize_images_real_path_png_and_ppm(spark):
+    """Decodable payloads (PNG + PPM) take the real resize path: the
+    output is a PNG whose pixels match a local decode → bilinear-resize
+    of the same source, and metadata carries the new dimensions."""
+    import numpy as np
+
+    from graphchi_cpp_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PNG_SIG,
+        bilinear_resize,
+        decode_png,
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    src_png = rng.random((10, 7, 3)).astype(np.float32)
+    src_ppm = rng.random((6, 9, 3)).astype(np.float32)
+    rows = [
+        (0, "image", encode_png(src_png), 7, 10, 0),
+        (1, "image", encode_ppm(src_ppm), 9, 6, 0),
+        (2, "image", b"\x05\x06\x07\x08", 2, 2, 0),  # fallback path
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_images(media, width=5, height=4).collect()}
+    for mid, src, dec in ((0, src_png, decode_png), (1, src_ppm, decode_ppm)):
+        assert got[mid]["width"] == 5 and got[mid]["height"] == 4
+        out = bytes(got[mid]["payload"])
+        assert out[: len(PNG_SIG)] == PNG_SIG
+        # local reference: decode source payload, bilinear, 8-bit quantize
+        want = bilinear_resize(dec(rows[mid][2]), 4, 5)
+        assert np.allclose(
+            decode_png(out), (want * 255).round() / 255.0, atol=1e-6
+        )
+    assert len(bytes(got[2]["payload"])) == 5 * 4  # fallback byte resample
