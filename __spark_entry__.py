@@ -364,25 +364,16 @@ def _register_cf():
 
     def _spark_recs(spark, sf_dir):
         def build():
+            from graphchi_cpp_spark.cf.itemcf import itemsim2rating
+
             r = _ratings(spark, sf_dir)
             sims = _jaccard_sims(spark, sf_dir)
-            both = sims.unionByName(
-                sims.select(
-                    F.col("item_b").alias("item_a"),
-                    F.col("item_a").alias("item_b"),
-                    "sim",
-                )
+            # same score/rank semantics as before (round-6 before
+            # ranking, item tiebreak, seen excluded) — the library op
+            # now runs the broadcast-sims single-exchange plan
+            return itemsim2rating(r, sims, k=5, score_ndigits=6).select(
+                "user", "item", "score", F.col("rank").cast("long")
             )
-            hist = r.select("user", "item").distinct()
-            scores = (
-                hist.join(both, hist.item == both.item_a)
-                .groupBy("user", F.col("item_b").alias("item"))
-                .agg(F.round(F.sum("sim"), 6).alias("score"))
-                .join(hist, ["user", "item"], "left_anti")
-            )
-            return top_k_per_key(
-                scores, "user", "score", 5, tiebreak_col="item"
-            ).select("user", "item", "score", F.col("rank").cast("long"))
 
         return _memo(spark, sf_dir, "recs_jaccard_top5", build)
 

@@ -81,10 +81,15 @@ def connected_components(
     jan = CheckpointJanitor(spark)
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     e = graph.edges.select("src", "dst")
+    # dedup AFTER the src-repartition: hashpartitioning(src) satisfies
+    # the (src, dst) clustering the dedup aggregate needs, so the
+    # symmetrized table pays ONE exchange instead of two (distinct's
+    # (src,dst) shuffle followed by the src repartition) and the cache
+    # still carries the src partitioning every superstep reuses
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
         .cache()
     )
     v = (

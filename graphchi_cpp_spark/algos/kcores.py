@@ -59,12 +59,22 @@ def _kcores_hindex(
     (neighbor join + value histogram), edge table cached once with
     partition reuse. Monotone non-increasing per vertex, so convergence
     is checked with a cheap changed-count."""
+    from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+
     spark = graph.edges.sparkSession
+    jan = CheckpointJanitor(spark)
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    # symmetrize inline with dedup folded into the dst-repartition:
+    # hashpartitioning(dst) satisfies the (src, dst) clustering the
+    # dedup aggregate needs — one exchange instead of symmetrize()'s
+    # (src,dst)-distinct shuffle plus the dst repartition
+    base = graph.edges.select("src", "dst")
     e = (
-        graph.symmetrize()
-        .edges.select("src", "dst")
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .repartition(p, "dst")
+        .dropDuplicates(["src", "dst"])
         .cache()
     )
     all_vertices = graph.vertices.select("id").localCheckpoint(eager=True)
@@ -103,7 +113,12 @@ def _kcores_hindex(
             .groupBy(F.col("src").alias("id"))
             .agg(F.max("m").cast("int").alias("h"))
         )
-        nc = (
+        # ONE materialization per iteration: checkpoint the new state
+        # directly (chg rides along as a 1-byte column) and read the
+        # change probe off the materialized blocks — the former
+        # cache-then-checkpoint pattern ran the iteration's plan twice
+        # (once to populate the cache for the probe, once to checkpoint)
+        nc = jan.checkpoint(
             c.join(h, "id", "left")
             .select(
                 "id",
@@ -112,13 +127,10 @@ def _kcores_hindex(
                     "chg"
                 ),
             )
-            .repartition(p, "id")
-            .cache()
         )
         changed = nc.filter("chg").limit(1).count() > 0
         c.unpersist()
-        c = nc.drop("chg").localCheckpoint(eager=True)
-        nc.unpersist()
+        c = nc.drop("chg")
         if not changed:
             break
 

@@ -60,20 +60,28 @@ def minimum_spanning_forest(
     )
     forest_parts: list[DataFrame] = []
 
+    from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+
+    spark0 = graph.edges.sparkSession
+    jan_und, jan_comp = CheckpointJanitor(spark0), CheckpointJanitor(spark0)
     for _ in range(max_rounds):
-        # label endpoints with current components
+        # label endpoints with current components, then in the SAME pass
+        # pick each component's cheapest outgoing edge. The empty-check
+        # runs on the already-checkpointed aggregate (count of ≤ one row
+        # per component) instead of a separate limit(1) probe, which
+        # re-executed the full two-join labeling once per round before
+        # the aggregation executed it again (one heavy pass saved/round).
         lab = (
             und.join(comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "ca"), "src")
             .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cb"), "dst")
             .filter(F.col("ca") != F.col("cb"))
         )
-        if lab.limit(1).count() == 0:
-            break
-        # per component: cheapest outgoing edge, deterministic tiebreak
         cand = lab.select(
             F.explode(F.array("ca", "cb")).alias("comp"),
             F.struct("w", "src", "dst", "ca", "cb").alias("e"),
         )
+        # per_comp checkpoints are NOT janitored: every round's forest
+        # part reads from its round's blocks until the final union
         per_comp = (
             cand.groupBy("comp")
             .agg(F.min("e").alias("e"))
@@ -88,6 +96,9 @@ def minimum_spanning_forest(
             )
             .localCheckpoint(eager=True)
         )
+        n_comp = per_comp.count()
+        if n_comp == 0:
+            break
         forest_parts.append(
             per_comp.select("src", "dst", F.col("w").alias("weight")).dropDuplicates(
                 ["src", "dst"]
@@ -100,7 +111,7 @@ def minimum_spanning_forest(
         # O(log n) pointer-jumping loop of jobs). Falls back to
         # distributed pointer jumping above the threshold.
         pairs = per_comp.select("comp", "other")
-        if pairs.count() <= contraction_collect_threshold:
+        if n_comp <= contraction_collect_threshold:
             rows = pairs.collect()
             uf: dict = {}
 
@@ -160,20 +171,21 @@ def minimum_spanning_forest(
                 parent = np_.drop("chg")
                 if not changed:
                     break
-        # apply relabeling to the vertex→component map
-        comp = (
-            comp.join(parent, "comp", "left")
-            .select("id", F.coalesce("p", F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+        # apply relabeling to the vertex→component map; superseded
+        # generations' blocks are freed by the janitors (plain unpersist
+        # cannot release checkpointed RDDs — checkpoints.py)
+        comp = jan_comp.checkpoint(
+            comp.join(parent, "comp", "left").select(
+                "id", F.coalesce("p", F.col("comp")).alias("comp")
+            )
         )
         # contracted edge table for the next round (reference: per-round
         # sharded sink — callers can persist this snapshot)
-        und = (
+        und = jan_und.checkpoint(
             und.join(comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "ca"), "src")
             .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cb"), "dst")
             .filter(F.col("ca") != F.col("cb"))
             .select("src", "dst", "w")
-            .localCheckpoint(eager=True)
         )
 
     if not forest_parts:

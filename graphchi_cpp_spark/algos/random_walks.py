@@ -36,6 +36,8 @@ def random_walks(
     """(vertex, visits) — visit counts over all walk positions after each
     of ``steps`` steps (initial positions excluded, matching the
     reference's update-time counting)."""
+    import os as _os
+
     edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     walks = (
         sources.select(F.col("id").alias("cur"))
@@ -51,10 +53,20 @@ def random_walks(
         )
         .localCheckpoint(eager=True)
     )
+    # the walk state is tiny next to the edge table (one row per walk):
+    # broadcast it into the per-step gather join so the edges are only
+    # SCANNED each step, never shuffled — the shuffle is then bounded by
+    # the matched frontier rows in the min_by aggregation. Row-capped
+    # with the shuffle join as fallback (checkpointed inputs lose stats,
+    # so Catalyst alone would sort-merge both sides every step).
+    bcast_walks = walks.count() <= int(
+        _os.environ.get("SPARK_GRAFT_WALKS_BCAST_MAX_ROWS", 50_000_000)
+    )
     visit_parts: list[DataFrame] = []
     for step in range(steps):
+        w_side = F.broadcast(walks) if bcast_walks else walks
         stepped = (
-            walks.join(edges.withColumnRenamed("src", "cur"), "cur")
+            w_side.join(edges.withColumnRenamed("src", "cur"), "cur")
             .select(
                 "walk_id",
                 "cur",
@@ -74,8 +86,16 @@ def random_walks(
             .groupBy("walk_id")
             .agg(F.min_by("dst", F.struct("r", "dst")).alias("nxt"))
         )
+        # stepped (≤ one row per walk) broadcasts into the update join;
+        # superseded walk-state checkpoints are freed by the janitor,
+        # EXCEPT that every step's state also feeds a visit part — so
+        # keep per-step states alive by checkpointing visits separately
         walks = (
-            walks.join(stepped, "walk_id", "left")
+            walks.join(
+                F.broadcast(stepped) if bcast_walks else stepped,
+                "walk_id",
+                "left",
+            )
             .select("walk_id", F.coalesce("nxt", F.col("cur")).alias("cur"))
             .localCheckpoint(eager=True)
         )

@@ -35,31 +35,39 @@ from graphchi_cpp_spark.graph import PropertyGraph
 
 def _propagate_min(edges: DataFrame, vertices: DataFrame, max_iter: int = 100) -> DataFrame:
     """min-id propagation along edge direction: color(v) = min(id(u)) over
-    u with a directed path u →* v (including v). Frontier-optimized."""
+    u with a directed path u →* v (including v). Frontier-optimized, with
+    the WCC hybrid: once the active set fits the broadcast row cap the
+    gather join probes a broadcast frontier map instead of shuffling the
+    (stats-less, checkpointed) edge table every superstep."""
+    from graphchi_cpp_spark.algos.connected_components import BCAST_FRONTIER_MAX
+    from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+
+    jan = CheckpointJanitor(edges.sparkSession)
     v = vertices.select("id", F.col("id").alias("color"), F.lit(True).alias("act"))
     v = v.localCheckpoint(eager=True)
+    n_active = v.count()
     for _ in range(max_iter):
-        frontier = v.filter("act")
+        frontier = v.filter("act").select(F.col("id").alias("src"), "color")
+        if n_active <= BCAST_FRONTIER_MAX:
+            frontier = F.broadcast(frontier)
         msgs = (
-            edges.join(
-                frontier.select(F.col("id").alias("src"), "color"), "src"
-            )
+            edges.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("color").alias("m"))
         )
-        nv = (
-            v.join(msgs, "id", "left")
-            .select(
+        nv = jan.checkpoint(
+            v.join(msgs, "id", "left").select(
                 "id",
                 F.least(F.col("color"), F.coalesce("m", F.col("color"))).alias("color"),
                 (F.coalesce("m", F.col("color") + 1) < F.col("color")).alias("act"),
             )
-            .localCheckpoint(eager=True)
         )
-        v.unpersist()
         v = nv
-        if v.filter("act").limit(1).count() == 0:
+        n_active = v.filter("act").count()
+        if n_active == 0:
             break
+    # the final generation's blocks stay alive (the janitor only frees
+    # superseded generations), so the caller can keep reading this view
     return v.select("id", "color")
 
 
@@ -114,19 +122,38 @@ def strongly_connected_components(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        confirmed = colors.filter(F.col("id") == F.col("color")).select("id")
+        # confirmed accumulates as a LAZY union of the eagerly-
+        # checkpointed waves: the former per-wave re-checkpoint of the
+        # whole confirmed set re-materialized O(|SCC|) rows every wave
+        # (one extra full job per wave); the anti-join/semi-join readers
+        # scan the same checkpointed blocks either way
+        from graphchi_cpp_spark.algos.connected_components import (
+            BCAST_FRONTIER_MAX,
+        )
+
+        confirmed = colors.filter(F.col("id") == F.col("color")).select(
+            "id"
+        ).localCheckpoint(eager=True)
         frontier = confirmed
+        n_confirmed = confirmed.count()
         while True:
+            f_side = frontier.withColumnRenamed("id", "src")
+            c_side = confirmed
+            if n_confirmed <= BCAST_FRONTIER_MAX:
+                # frontier ⊆ confirmed, so one cap covers both sides
+                f_side, c_side = F.broadcast(f_side), F.broadcast(c_side)
             nxt = (
-                ec.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+                ec.join(f_side, "src", "left_semi")
                 .select(F.col("dst").alias("id"))
                 .distinct()
-                .join(confirmed, "id", "left_anti")
+                .join(c_side, "id", "left_anti")
                 .localCheckpoint(eager=True)
             )
-            if nxt.limit(1).count() == 0:
+            n = nxt.count()
+            if n == 0:
                 break
-            confirmed = confirmed.unionByName(nxt).localCheckpoint(eager=True)
+            confirmed = confirmed.unionByName(nxt)
+            n_confirmed += n
             frontier = nxt
         scc = colors.join(confirmed, "id", "left_semi").select(
             "id", F.col("color").alias("component")

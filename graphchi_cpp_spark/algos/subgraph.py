@@ -30,21 +30,36 @@ def khop_vertices(graph: PropertyGraph, seeds: DataFrame, hops: int) -> DataFram
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
 
+    import os as _os
+
+    cap = int(_os.environ.get("SPARK_GRAFT_KHOP_BCAST_MAX_ROWS", 50_000_000))
     reached = seeds.select("id", F.lit(0).alias("hop")).localCheckpoint(eager=True)
     frontier = reached.select("id")
+    n_frontier = reached.count()
     for h in range(1, hops + 1):
+        # frontier and visited sets broadcast under the row cap: the
+        # expansion semi-join and the dedup anti-join then scan the
+        # (stats-less, checkpointed) edge table map-side instead of
+        # shuffling it every hop; ``reached`` accumulates as a LAZY
+        # union of the checkpointed per-hop frontiers (the former
+        # re-checkpoint re-materialized the whole set each hop)
+        f_side = frontier.withColumnRenamed("id", "src")
+        r_side = reached.select("id")
+        if n_frontier <= cap:
+            f_side = F.broadcast(f_side)
+            r_side = F.broadcast(r_side)
         nxt = (
-            sym.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+            sym.join(f_side, "src", "left_semi")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(reached.select("id"), "id", "left_anti")
+            .join(r_side, "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        n = nxt.count()
+        if n == 0:
             break
-        reached = reached.unionByName(
-            nxt.select("id", F.lit(h).alias("hop"))
-        ).localCheckpoint(eager=True)
+        reached = reached.unionByName(nxt.select("id", F.lit(h).alias("hop")))
+        n_frontier += n
         frontier = nxt
     return reached
 

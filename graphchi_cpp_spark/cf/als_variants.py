@@ -52,15 +52,21 @@ def _ccd_sweep_d2(
     group_col: str,
     other_col: str,
     reg: float,
+    bcast: bool = False,
 ) -> DataFrame:
     """One cyclic d=2 CCD sweep in closed form (mirrors ``_ccd_sums_sql``
     + the lateral-alias update in ``als_coord_sql``): x0' = (rhs0 − b·x1)/a
-    with the OLD x1, then x1' = (rhs1 − b·x0')/c with the refreshed x0'."""
-    s = _sums_d2(_join_factors_d2(ratings, fixed, other_col), group_col, reg)
-    j = s.join(
-        current.select(F.col(group_col), F.col("factors")[1].alias("_x1")),
-        group_col,
-    )
+    with the OLD x1, then x1' = (rhs1 − b·x0')/c with the refreshed x0'.
+
+    ``bcast``: broadcast both factor tables into their joins — with
+    ``ratings`` hash-partitioned by ``group_col`` the whole sweep then
+    shuffles zero rating rows (gather join map-side, grouped sums
+    co-located, update join against a broadcast map)."""
+    cur = current.select(F.col(group_col), F.col("factors")[1].alias("_x1"))
+    if bcast:
+        cur = F.broadcast(cur)
+    s = _sums_d2(_join_factors_d2(ratings, fixed, other_col, bcast), group_col, reg)
+    j = s.join(cur, group_col)
     nf0 = (F.col("rhs0") - F.col("b") * F.col("_x1")) / F.col("a")
     nf1 = (F.col("rhs1") - F.col("b") * nf0) / F.col("c")
     return j.select(
@@ -192,9 +198,14 @@ def _join_side(
     )
 
 
-def _rmse(ratings: DataFrame, user_f: DataFrame, item_f: DataFrame) -> float:
+def _rmse(
+    ratings: DataFrame,
+    user_f: DataFrame,
+    item_f: DataFrame,
+    bcast_item: bool = False,
+) -> float:
     return float(
-        predict(ratings, user_f, item_f)
+        predict(ratings, user_f, item_f, bcast_item=bcast_item)
         .agg(F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))))
         .collect()[0][0]
     )
@@ -225,29 +236,64 @@ def als_coord(
             x[k] = new_xk
         return x
 
+    import os as _os
+
     r = ratings.select("user", "item", F.col("rating").cast("double")).cache()
+    history: list[dict] = []
+    if d == 2:
+        # the als() zero-shuffle layout (cf/als.py): ratings cached
+        # twice, hash-partitioned by each sweep's GROUP key, factor
+        # tables broadcast under the row cap — each sweep is then
+        # scan-cache → probe broadcast map → co-located aggregation,
+        # no rating row shuffled; one RMSE action per iteration
+        # materializes both cached sweeps in a single job (the eager
+        # per-half-step checkpoints were 2 extra jobs per iteration).
+        spark = r.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        cap = int(_os.environ.get("SPARK_GRAFT_ALS_BCAST_MAX_ROWS", 50_000_000))
+        r_u = r.repartition(p, "user").cache()
+        r_i = r.repartition(p, "item").cache()
+        user_f = _init_factors(
+            r_u.select("user").distinct(), "user", d
+        ).localCheckpoint(eager=True)
+        item_f = _init_factors(
+            r_i.select("item").distinct(), "item", d
+        ).localCheckpoint(eager=True)
+        r.unpersist()
+        bc = user_f.count() <= cap and item_f.count() <= cap
+        spent: list[DataFrame] = []
+        for it in range(iterations):
+            user_f = _ccd_sweep_d2(
+                r_u, item_f, user_f, "user", "item", reg, bcast=bc
+            ).cache()
+            item_f = _ccd_sweep_d2(
+                r_i, user_f, item_f, "item", "user", reg, bcast=bc
+            ).cache()
+            spent += [user_f, item_f]
+            if (it + 1) % 4 == 0:
+                user_f = user_f.localCheckpoint(eager=True)
+                item_f = item_f.localCheckpoint(eager=True)
+            history.append(
+                {"iter": it, "train_rmse": _rmse(r_u, user_f, item_f, bc)}
+            )
+        for spent_df in spent[:-2]:
+            spent_df.unpersist()
+        r_u.unpersist()
+        r_i.unpersist()
+        return user_f, item_f, history
     user_f = _init_factors(r.select("user").distinct(), "user", d).localCheckpoint(
         eager=True
     )
     item_f = _init_factors(r.select("item").distinct(), "item", d).localCheckpoint(
         eager=True
     )
-    history: list[dict] = []
     for it in range(iterations):
-        if d == 2:
-            user_f = _ccd_sweep_d2(
-                r, item_f, user_f, "user", "item", reg
-            ).localCheckpoint(eager=True)
-            item_f = _ccd_sweep_d2(
-                r, user_f, item_f, "item", "user", reg
-            ).localCheckpoint(eager=True)
-        else:
-            user_f = _grouped_update(
-                _join_side(r, item_f, user_f, "user", "item"), "user", ccd_sweep
-            ).localCheckpoint(eager=True)
-            item_f = _grouped_update(
-                _join_side(r, user_f, item_f, "item", "user"), "item", ccd_sweep
-            ).localCheckpoint(eager=True)
+        user_f = _grouped_update(
+            _join_side(r, item_f, user_f, "user", "item"), "user", ccd_sweep
+        ).localCheckpoint(eager=True)
+        item_f = _grouped_update(
+            _join_side(r, user_f, item_f, "item", "user"), "item", ccd_sweep
+        ).localCheckpoint(eager=True)
         history.append({"iter": it, "train_rmse": _rmse(r, user_f, item_f)})
     return user_f, item_f, history
 

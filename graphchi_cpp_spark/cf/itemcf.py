@@ -73,9 +73,13 @@ def item_similarity(
         w = Window.partitionBy("user").orderBy(
             md5_long(F.concat_ws("_", "user", "item")), "item"
         )
-        marked = ui.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
-            eager=True
-        )
+        # cache, not localCheckpoint: InMemoryRelation preserves the
+        # window's hashpartitioning(user), so the downstream self-join
+        # on user runs with ZERO additional exchanges on either side
+        # (a checkpointed scan loses outputPartitioning and re-shuffles
+        # |ui| twice). The ``small = ui.count()`` below populates the
+        # cache before any multi-consumer job reads it.
+        marked = ui.withColumn("_rn", F.row_number().over(w)).cache()
         # the capped-user count is a full extra job over the matrix —
         # only pay for it when INFO logging will actually surface it
         if log.isEnabledFor(logging.INFO):
@@ -93,8 +97,10 @@ def item_similarity(
                 )
         ui = marked.filter(F.col("_rn") <= max_user_degree).drop("_rn")
     else:
-        # materialized once: referenced by degrees AND both join sides
-        ui = ui.localCheckpoint(eager=True)
+        # materialized once (via the count below): referenced by degrees
+        # AND both join sides; distinct's hashpartitioning(user, item)
+        # survives the cache for the aggregate consumers
+        ui = ui.cache()
     item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
     user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
     # degree tables are O(#entities); broadcast below a size guard
@@ -220,7 +226,20 @@ def itemsim2rating(
     differ in final ULPs, so unrounded near-tied scores can rank
     differently run-to-run (and engine-to-engine); oracle-compared
     callers round at 6.
+
+    Physical strategy: when the expanded similarity table fits the
+    broadcast row cap (``SPARK_GRAFT_SIMS_BCAST_MAX_ROWS``, default
+    50M), the user history is hash-partitioned by user ONCE (dedup
+    folded into that exchange) and everything downstream — the gather
+    join against the BROADCAST sims, the per-(user, item) score
+    aggregation (hash(user) satisfies its clustering), the seen-items
+    anti-join (both sides hash(user)) and the top-K window — runs with
+    ZERO further exchanges: the history×sims fan-out, the largest
+    intermediate of the query, never crosses the wire. Above the cap
+    the shuffle plan (join on item, partial-aggregated groupBy) is kept.
     """
+    import os as _os
+
     both = sims.select("item_a", "item_b", "sim").unionByName(
         sims.select(
             F.col("item_b").alias("item_a"),
@@ -228,10 +247,31 @@ def itemsim2rating(
             "sim",
         )
     )
-    hist = ratings.select("user", "item").distinct()
     score_expr = F.sum("sim")
     if score_ndigits is not None:
         score_expr = F.round(score_expr, score_ndigits)
+    cap = int(_os.environ.get("SPARK_GRAFT_SIMS_BCAST_MAX_ROWS", 50_000_000))
+    # sims is typically an eagerly-materialized table (memo/checkpoint)
+    # so this count is a cheap scan, not a recompute
+    if 2 * sims.count() <= cap:
+        spark = ratings.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        hist = (
+            ratings.select("user", "item")
+            .repartition(p, "user")
+            .dropDuplicates(["user", "item"])
+            .cache()
+        )
+        hist.count()  # populate before the multi-consumer final job
+        scores = (
+            hist.join(F.broadcast(both), hist.item == both.item_a)
+            .groupBy("user", F.col("item_b").alias("item"))
+            .agg(score_expr.alias("score"))
+        )
+        if exclude_seen:
+            scores = scores.join(hist, ["user", "item"], "left_anti")
+        return top_k_per_key(scores, "user", "score", k, tiebreak_col="item")
+    hist = ratings.select("user", "item").distinct()
     scores = (
         hist.join(both, hist.item == both.item_a)
         .groupBy("user", F.col("item_b").alias("item"))
@@ -267,9 +307,11 @@ def itemcf_cv(
     for fold in range(k_folds):
         train = kfold_split(ratings, k_folds, fold, training=True)
         held = kfold_split(ratings, k_folds, fold, training=False)
+        # eager: sims feeds both direction expansions of the rec build —
+        # lazy, the full similarity computation ran twice per fold
         sims = item_similarity(
             train, metric, min_common=min_common, max_user_degree=max_user_degree
-        )
+        ).localCheckpoint(eager=True)
         recs = itemsim2rating(train, sims, k=top_k, score_ndigits=6)
         truth = held.filter(F.col("rating") >= like_threshold).select(
             "user", "item"

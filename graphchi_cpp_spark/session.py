@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer hash joins over sort-merge where safe: most joins here
+        # run on checkpointed/cached inputs whose stats are gone, so the
+        # planner would default to SMJ and pay two sorts per join. The
+        # AQE rewrite is the scale-adaptive guard — it only swaps
+        # SMJ→shuffled-hash when every post-shuffle partition of the
+        # build side is under the threshold (small at bench scale,
+        # automatically NOT taken when partitions are GB-sized at
+        # cluster scale), so no OOM risk from an unbounded build.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -53,6 +65,18 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # pin the heap: G1 uncommits memory after a full GC (e.g. the
+        # bench's between-run reclaim), and re-growing the heap mid-query
+        # showed up as a consistent +0.5-2s on every timed run; Xms=Xmx
+        # keeps the committed heap stable. Explicit GCs stay synchronous
+        # on purpose — the reclaim runs OUTSIDE timed regions, and a
+        # concurrent cycle instead bled marking work into the next
+        # timed query (measured +30-100% on the queries that follow
+        # garbage-heavy ones).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # localCheckpoint blocks are only reclaimed when the ContextCleaner
         # sees the RDD get GC'd; with a roomy heap the driver may not GC for
         # the 30min default interval, so superseded superstep states pile up
