@@ -60,10 +60,30 @@ def minimum_spanning_forest(
     )
     forest_parts: list[DataFrame] = []
 
+    import os as _os
+
     from graphchi_cpp_spark.checkpoints import CheckpointJanitor
 
     spark0 = graph.edges.sparkSession
     jan_und, jan_comp = CheckpointJanitor(spark0), CheckpointJanitor(spark0)
+    # the vertex→component map is |V| rows against an |E|-row edge table:
+    # broadcast it into the labeling/relabeling joins under the row cap
+    # so the edge table is scanned, never shuffled, per round (the
+    # checkpointed inputs carry no stats, so Catalyst alone would
+    # shuffle-join both sides). Shuffle fallback above the cap.
+    bcast_comp = comp.count() <= int(
+        _os.environ.get("SPARK_GRAFT_MSF_BCAST_MAX_COMP", 50_000_000)
+    )
+
+    def _lab(und_df, comp_df):
+        ca = comp_df.withColumnRenamed("id", "src").withColumnRenamed("comp", "ca")
+        cb = comp_df.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cb")
+        if bcast_comp:
+            ca, cb = F.broadcast(ca), F.broadcast(cb)
+        return (
+            und_df.join(ca, "src").join(cb, "dst").filter(F.col("ca") != F.col("cb"))
+        )
+
     for _ in range(max_rounds):
         # label endpoints with current components, then in the SAME pass
         # pick each component's cheapest outgoing edge. The empty-check
@@ -71,11 +91,7 @@ def minimum_spanning_forest(
         # per component) instead of a separate limit(1) probe, which
         # re-executed the full two-join labeling once per round before
         # the aggregation executed it again (one heavy pass saved/round).
-        lab = (
-            und.join(comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "ca"), "src")
-            .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cb"), "dst")
-            .filter(F.col("ca") != F.col("cb"))
-        )
+        lab = _lab(und, comp)
         cand = lab.select(
             F.explode(F.array("ca", "cb")).alias("comp"),
             F.struct("w", "src", "dst", "ca", "cb").alias("e"),
@@ -181,12 +197,7 @@ def minimum_spanning_forest(
         )
         # contracted edge table for the next round (reference: per-round
         # sharded sink — callers can persist this snapshot)
-        und = jan_und.checkpoint(
-            und.join(comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "ca"), "src")
-            .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cb"), "dst")
-            .filter(F.col("ca") != F.col("cb"))
-            .select("src", "dst", "w")
-        )
+        und = jan_und.checkpoint(_lab(und, comp).select("src", "dst", "w"))
 
     if not forest_parts:
         return graph.edges.sparkSession.createDataFrame(

@@ -75,23 +75,33 @@ def strongly_connected_components(
     graph: PropertyGraph, max_rounds: int = 20
 ) -> DataFrame:
     """Returns (id, component) — component = min vertex id in the SCC."""
+    from graphchi_cpp_spark.algos.connected_components import BCAST_FRONTIER_MAX
+
     edges = graph.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     remaining = graph.vertices.select("id").localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 
+    def _b(df, small):
+        # |V|-bounded vertex sets broadcast into joins against the edge
+        # table under the shared frontier cap (stats-less checkpointed
+        # inputs would otherwise shuffle the edge table each rewrite)
+        return F.broadcast(df) if small else df
+
     for _ in range(max_rounds):
-        if remaining.limit(1).count() == 0:
+        n_remaining = remaining.count()
+        if n_remaining == 0:
             break
+        small = n_remaining <= BCAST_FRONTIER_MAX
         # 0. trim: vertices with no in- or no out-edges in the remaining
         #    graph are singleton SCCs (kills chains/DAG periphery fast —
         #    the standard FW-BW-Trim step)
         while True:
             srcs = edges.select(F.col("src").alias("id")).distinct()
             dsts = edges.select(F.col("dst").alias("id")).distinct()
-            nontrivial = srcs.join(dsts, "id", "left_semi")
-            trivial = remaining.join(nontrivial, "id", "left_anti").localCheckpoint(
-                eager=True
-            )
+            nontrivial = srcs.join(_b(dsts, small), "id", "left_semi")
+            trivial = remaining.join(
+                _b(nontrivial, small), "id", "left_anti"
+            ).localCheckpoint(eager=True)
             if trivial.limit(1).count() == 0:
                 break
             assigned_parts.append(
@@ -99,12 +109,20 @@ def strongly_connected_components(
                     eager=True
                 )
             )
-            remaining = remaining.join(trivial, "id", "left_anti").localCheckpoint(
-                eager=True
-            )
+            remaining = remaining.join(
+                _b(trivial, small), "id", "left_anti"
+            ).localCheckpoint(eager=True)
             edges = (
-                edges.join(trivial.withColumnRenamed("id", "src"), "src", "left_anti")
-                .join(trivial.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                edges.join(
+                    _b(trivial.withColumnRenamed("id", "src"), small),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    _b(trivial.withColumnRenamed("id", "dst"), small),
+                    "dst",
+                    "left_anti",
+                )
                 .select("src", "dst")
                 .localCheckpoint(eager=True)
             )
@@ -116,8 +134,24 @@ def strongly_connected_components(
         #    along reversed edges staying inside the color class
         rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ec = (
-            rev.join(colors.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src")
-            .join(colors.withColumnRenamed("id", "dst").withColumnRenamed("color", "c_dst"), "dst")
+            rev.join(
+                _b(
+                    colors.withColumnRenamed("id", "src").withColumnRenamed(
+                        "color", "c_src"
+                    ),
+                    small,
+                ),
+                "src",
+            )
+            .join(
+                _b(
+                    colors.withColumnRenamed("id", "dst").withColumnRenamed(
+                        "color", "c_dst"
+                    ),
+                    small,
+                ),
+                "dst",
+            )
             .filter(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
             .localCheckpoint(eager=True)
@@ -155,17 +189,22 @@ def strongly_connected_components(
             confirmed = confirmed.unionByName(nxt)
             n_confirmed += n
             frontier = nxt
-        scc = colors.join(confirmed, "id", "left_semi").select(
+        scc = colors.join(_b(confirmed, small), "id", "left_semi").select(
             "id", F.col("color").alias("component")
         )
         assigned_parts.append(scc.localCheckpoint(eager=True))
+        scc = assigned_parts[-1]
         # 3. remove assigned vertices and their edges
-        remaining = remaining.join(scc.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        remaining = remaining.join(
+            _b(scc.select("id"), small), "id", "left_anti"
+        ).localCheckpoint(eager=True)
         edges = (
-            edges.join(scc.select(F.col("id").alias("src")), "src", "left_anti")
-            .join(scc.select(F.col("id").alias("dst")), "dst", "left_anti")
+            edges.join(
+                _b(scc.select(F.col("id").alias("src")), small), "src", "left_anti"
+            )
+            .join(
+                _b(scc.select(F.col("id").alias("dst")), small), "dst", "left_anti"
+            )
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )

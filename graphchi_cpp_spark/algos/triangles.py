@@ -134,12 +134,18 @@ def triangle_count(graph: PropertyGraph, orient: str = "degree"):
     of bitmaps (sparse or large id spaces) keep the join plan.
     """
     e = _materialize_postings(_oriented_edges(graph, orient), "tri_cnt_oriented")
-    vmax_row = e.agg(
-        F.max(F.greatest("src", "dst")).alias("m")
+    bounds = e.agg(
+        F.max(F.greatest("src", "dst")).alias("m"),
+        F.min(F.least("src", "dst")).alias("lo"),
     ).collect()[0]
-    vmax = int(vmax_row["m"]) if vmax_row["m"] is not None else -1
+    vmax = int(bounds["m"]) if bounds["m"] is not None else -1
+    vmin = int(bounds["lo"]) if bounds["lo"] is not None else 0
     nwords = (vmax + 64) // 64 if vmax >= 0 else 0
-    if vmax < 0 or (vmax + 1) * nwords * 8 > DENSE_BITMAP_MAX_BYTES:
+    if (
+        vmax < 0
+        or vmin < 0  # bit positions need non-negative ids
+        or (vmax + 1) * nwords * 8 > DENSE_BITMAP_MAX_BYTES
+    ):
         # sparse / huge-id fallback: the enumeration join plan
         return triangles(graph, orient).agg(F.count("*").alias("n_triangles"))
     words = e.select(

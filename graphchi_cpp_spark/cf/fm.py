@@ -85,6 +85,10 @@ def featurize(
         for c, w in buckets.items()
     ]
 
+    # materialize the side-joined table once: every vocab below runs its
+    # own DISTINCT scan over it (and the final encode reads it again) —
+    # lazily, each of those re-executed the side-table joins
+    work = work.localCheckpoint(eager=True)
     vocabs, sizes = [], []
     for _name, expr in specs:
         vals = work.select(expr.alias("val")).distinct().localCheckpoint(

@@ -65,17 +65,20 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # pin the heap: G1 uncommits memory after a full GC (e.g. the
-        # bench's between-run reclaim), and re-growing the heap mid-query
-        # showed up as a consistent +0.5-2s on every timed run; Xms=Xmx
-        # keeps the committed heap stable. Explicit GCs stay synchronous
+        # keep the committed heap from SHRINKING after a full GC (e.g.
+        # the bench's between-run reclaim): G1 uncommitting and then
+        # re-growing the heap mid-query showed up as a consistent
+        # +0.5-2s on every timed run. MaxHeapFreeRatio=100 disables the
+        # shrink policy while still letting the heap grow on demand —
+        # outright pinning (-Xms=-Xmx) was measured 3-8x SLOWER for
+        # 30M-edge pagerank on a 48g heap (pathological G1 sizing on a
+        # fully pre-committed large heap). Explicit GCs stay synchronous
         # on purpose — the reclaim runs OUTSIDE timed regions, and a
         # concurrent cycle instead bled marking work into the next
         # timed query (measured +30-100% on the queries that follow
         # garbage-heavy ones).
         .config(
-            "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            "spark.driver.extraJavaOptions", "-XX:MaxHeapFreeRatio=100"
         )
         # localCheckpoint blocks are only reclaimed when the ContextCleaner
         # sees the RDD get GC'd; with a roomy heap the driver may not GC for

@@ -60,6 +60,21 @@ def test_triangle_orientations_agree(spark, sf_dir):
     assert a == b
 
 
+def test_triangle_dense_bitmap_matches_join_plan(spark, sf_dir, monkeypatch):
+    """The dense adjacency-bitmap count must equal the enumeration-join
+    count (and the brute wedge count) on a non-trivial graph."""
+    from graphchi_cpp_spark.algos import triangles as tri_mod
+    from graphchi_cpp_spark.graph import erdos_renyi
+
+    g = PropertyGraph.from_edges(erdos_renyi(spark, 500, 8, seed=7))
+    dense = triangle_count(g, orient="degree").collect()[0]["n_triangles"]
+    # force the sparse fallback (join plan) by shrinking the bitmap cap
+    monkeypatch.setattr(tri_mod, "DENSE_BITMAP_MAX_BYTES", 0)
+    sparse = triangle_count(g, orient="degree").collect()[0]["n_triangles"]
+    assert dense == sparse
+    assert dense == tri_mod.triangles(g, orient="id").count()
+
+
 def test_kcores_tiny(spark):
     # K4 on {0,1,2,3} (core 3), path 10-11-12 (core 1), isolated 20
     edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]

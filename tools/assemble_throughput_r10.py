@@ -101,11 +101,20 @@ def main():
             per_key = contribs.setdefault(key, {})
             for k, v in row.items():
                 if k.endswith("_runs") and isinstance(v, list):
-                    if any(k.startswith(op) for op in reset):
+                    if any(k == f"{op}_runs" for op in reset):
                         # implementation changed this round: the base
-                        # samples measure the old code — drop them (the
-                        # derived fields get recomputed from new logs)
+                        # samples measure the old code — drop them AND
+                        # their derived fields (recomputed from new
+                        # logs if any arrive; a stale median without
+                        # backing samples must not survive). Exact op
+                        # match: resetting `wcc` must not drop
+                        # `wcc_star` samples.
                         rows_by_key[key].pop(k, None)
+                        for op in reset:
+                            if k == f"{op}_runs" and op in RECOMPUTE:
+                                s_field, tp_field, _ = RECOMPUTE[op]
+                                rows_by_key[key].pop(s_field, None)
+                                rows_by_key[key].pop(tp_field, None)
                         continue
                     per_key.setdefault(k, {})["r09"] = v
 
