@@ -76,10 +76,23 @@ def connected_components(
     the old limit(1) early-exit probe did, one number instead of one bit.
     """
     from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+    from graphchi_cpp_spark.partitioning import (
+        adaptive_partitions,
+        scoped_shuffle_partitions,
+    )
 
     spark = graph.edges.sparkSession
     jan = CheckpointJanitor(spark)
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    # partition count derived from the data (guide §2): |E| is one cheap
+    # job against the (memoized/checkpointed) edge table; at cluster
+    # scale the conf cap binds and p is unchanged
+    n_edges = graph.edges.count()
+    p = adaptive_partitions(spark, 2 * n_edges)
+    with scoped_shuffle_partitions(spark, p):
+        return _cc_loop(graph, spark, jan, p, max_iter, checkpoint_every)
+
+
+def _cc_loop(graph, spark, jan, p, max_iter, checkpoint_every):
     e = graph.edges.select("src", "dst")
     # dedup AFTER the src-repartition: hashpartitioning(src) satisfies
     # the (src, dst) clustering the dedup aggregate needs, so the
@@ -175,8 +188,31 @@ def connected_components_star(
     build side of the join, which AQE's skew split handles (unlike the
     measured pointer-jumping dead end above, where the hot key carried
     the full V-row probe AND build fan-in)."""
+    from graphchi_cpp_spark.partitioning import (
+        adaptive_partitions,
+        scoped_shuffle_partitions,
+    )
+
     spark = graph.edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    # data-derived partition count (guide §2); conf cap binds at scale
+    p = adaptive_partitions(spark, 2 * graph.edges.count())
+    with scoped_shuffle_partitions(spark, p):
+        E = _star_rounds(graph, p, max_iter)
+    comp = (
+        graph.vertices.select("id")
+        .join(
+            E.groupBy(F.col("src").alias("id")).agg(
+                F.min("dst").alias("_c")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("_c", F.col("id")).alias("component"))
+    )
+    return comp
+
+
+def _star_rounds(graph: PropertyGraph, p: int, max_iter: int) -> DataFrame:
     # lineage is cut EVERY round: E is referenced twice per round (self
     # + swap), so anything short of a checkpoint doubles the logical
     # plan per iteration (cache() bounds recomputation, not plan size)
@@ -229,18 +265,7 @@ def connected_components_star(
         if sig == prev_sig:
             break
         prev_sig = sig
-    comp = (
-        graph.vertices.select("id")
-        .join(
-            E.groupBy(F.col("src").alias("id")).agg(
-                F.min("dst").alias("_c")
-            ),
-            "id",
-            "left",
-        )
-        .select("id", F.coalesce("_c", F.col("id")).alias("component"))
-    )
-    return comp
+    return E
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -60,10 +60,20 @@ def _kcores_hindex(
     partition reuse. Monotone non-increasing per vertex, so convergence
     is checked with a cheap changed-count."""
     from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+    from graphchi_cpp_spark.partitioning import (
+        adaptive_partitions,
+        scoped_shuffle_partitions,
+    )
 
     spark = graph.edges.sparkSession
     jan = CheckpointJanitor(spark)
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    # data-derived partition count (guide §2); conf cap binds at scale
+    p = adaptive_partitions(spark, 2 * graph.edges.count())
+    with scoped_shuffle_partitions(spark, p):
+        return _hindex_loop(graph, spark, jan, p, max_iter, stats)
+
+
+def _hindex_loop(graph, spark, jan, p, max_iter, stats):
     # symmetrize inline with dedup folded into the dst-repartition:
     # hashpartitioning(dst) satisfies the (src, dst) clustering the
     # dedup aggregate needs — one exchange instead of symmetrize()'s

@@ -37,6 +37,21 @@ def lpa_communities(
 ) -> DataFrame:
     """Synchronous LPA: label(v) ← smallest among the most frequent
     neighbor labels (undirected). Returns (id, label)."""
+    from graphchi_cpp_spark.partitioning import (
+        adaptive_partitions,
+        scoped_shuffle_partitions,
+    )
+
+    spark = graph.edges.sparkSession
+    # data-derived partition count (guide §2); conf cap binds at scale
+    p = adaptive_partitions(spark, 2 * graph.edges.count())
+    with scoped_shuffle_partitions(spark, p):
+        return _lpa_loop(graph, max_iter, checkpoint_every)
+
+
+def _lpa_loop(
+    graph: PropertyGraph, max_iter: int, checkpoint_every: int
+) -> DataFrame:
     sym = graph.symmetrize()
     edges = sym.edges.select("src", "dst").localCheckpoint(eager=True)
     v = graph.vertices.select("id", F.col("id").alias("label"))

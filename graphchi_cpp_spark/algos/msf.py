@@ -37,10 +37,41 @@ def minimum_spanning_forest(
 ) -> DataFrame:
     """Returns forest edges (src, dst, weight) — an MSF of the undirected
     graph (edges interpreted bidirectionally, weight from ``weight_col``)."""
+    from graphchi_cpp_spark.partitioning import (
+        adaptive_partitions,
+        scoped_shuffle_partitions,
+    )
+
+    spark0 = graph.edges.sparkSession
+    # data-derived partition count for the whole contraction loop
+    # (guide §2): every per-round exchange (min_by aggregate, dedup,
+    # checkpoint layout) follows the data size; the conf cap binds at
+    # cluster scale so large graphs are unchanged
+    p = adaptive_partitions(spark0, 2 * graph.edges.count())
+    with scoped_shuffle_partitions(spark0, p):
+        return _msf_loop(
+            graph, weight_col, max_rounds, contraction_collect_threshold
+        )
+
+
+def _msf_loop(
+    graph: PropertyGraph,
+    weight_col: str,
+    max_rounds: int,
+    contraction_collect_threshold: int,
+) -> DataFrame:
     e = graph.edges.select(
         "src", "dst", F.col(weight_col).cast("double").alias("w")
     )
-    # canonical undirected form, min weight per pair
+    # canonical undirected form, min weight per pair — with the CURRENT
+    # component labels carried ON the edge row (ca, cb; initially the
+    # endpoints themselves). Carrying labels on edges removes the former
+    # per-round two-join labeling against the |V|-row vertex→component
+    # map entirely: candidate selection reads the labeled table as-is,
+    # and contraction relabels it with a broadcast of only the
+    # merged-parent map (≤ one row per live component, halving every
+    # round) instead of the full |V|-row map. Two extra longs per edge
+    # row buy zero |E|⋈|V| joins per round.
     und = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
@@ -48,14 +79,9 @@ def minimum_spanning_forest(
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    # component label per vertex, initially self
-    comp = (
-        und.select(F.col("src").alias("id"))
-        .unionByName(und.select(F.col("dst").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
+        .select(
+            "src", "dst", "w", F.col("src").alias("ca"), F.col("dst").alias("cb")
+        )
         .localCheckpoint(eager=True)
     )
     forest_parts: list[DataFrame] = []
@@ -65,34 +91,22 @@ def minimum_spanning_forest(
     from graphchi_cpp_spark.checkpoints import CheckpointJanitor
 
     spark0 = graph.edges.sparkSession
-    jan_und, jan_comp = CheckpointJanitor(spark0), CheckpointJanitor(spark0)
-    # the vertex→component map is |V| rows against an |E|-row edge table:
-    # broadcast it into the labeling/relabeling joins under the row cap
-    # so the edge table is scanned, never shuffled, per round (the
-    # checkpointed inputs carry no stats, so Catalyst alone would
-    # shuffle-join both sides). Shuffle fallback above the cap.
-    bcast_comp = comp.count() <= int(
+    jan_und = CheckpointJanitor(spark0)
+    # the merged-parent map is ≤ one row per live component: broadcast
+    # it into the relabeling join under the row cap so the edge table
+    # is scanned, never shuffled, per round (the checkpointed inputs
+    # carry no stats, so Catalyst alone would shuffle-join both sides).
+    # Shuffle fallback above the cap.
+    bcast_parent_max = int(
         _os.environ.get("SPARK_GRAFT_MSF_BCAST_MAX_COMP", 50_000_000)
     )
-
-    def _lab(und_df, comp_df):
-        ca = comp_df.withColumnRenamed("id", "src").withColumnRenamed("comp", "ca")
-        cb = comp_df.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cb")
-        if bcast_comp:
-            ca, cb = F.broadcast(ca), F.broadcast(cb)
-        return (
-            und_df.join(ca, "src").join(cb, "dst").filter(F.col("ca") != F.col("cb"))
-        )
-
-    for _ in range(max_rounds):
-        # label endpoints with current components, then in the SAME pass
-        # pick each component's cheapest outgoing edge. The empty-check
-        # runs on the already-checkpointed aggregate (count of ≤ one row
-        # per component) instead of a separate limit(1) probe, which
-        # re-executed the full two-join labeling once per round before
-        # the aggregation executed it again (one heavy pass saved/round).
-        lab = _lab(und, comp)
-        cand = lab.select(
+    for rnd in range(max_rounds):
+        # per component, pick the cheapest outgoing edge straight off the
+        # labeled table (cross-component by invariant: relabeling drops
+        # intra-component rows). The empty-check runs on the already-
+        # checkpointed aggregate (≤ one row per component) instead of a
+        # separate limit(1) probe over a labeling join.
+        cand = und.select(
             F.explode(F.array("ca", "cb")).alias("comp"),
             F.struct("w", "src", "dst", "ca", "cb").alias("e"),
         )
@@ -147,9 +161,8 @@ def minimum_spanning_forest(
                     uf[rb] = ra
             mapping = [(c, find(c)) for c in list(uf)]
             spark = graph.edges.sparkSession
-            parent = F.broadcast(
-                spark.createDataFrame(mapping, "comp long, p long")
-            )
+            parent = spark.createDataFrame(mapping, "comp long, p long")
+            bcast_parent = len(mapping) <= bcast_parent_max
         else:
             # distributed pointer jumping: chosen edges form pseudo-trees
             # with one 2-cycle each; root at the smaller id, square the
@@ -187,17 +200,36 @@ def minimum_spanning_forest(
                 parent = np_.drop("chg")
                 if not changed:
                     break
-        # apply relabeling to the vertex→component map; superseded
-        # generations' blocks are freed by the janitors (plain unpersist
-        # cannot release checkpointed RDDs — checkpoints.py)
-        comp = jan_comp.checkpoint(
-            comp.join(parent, "comp", "left").select(
-                "id", F.coalesce("p", F.col("comp")).alias("comp")
+            bcast_parent = n_comp <= bcast_parent_max
+        # contract: compose the parent map onto the edge labels in ONE
+        # pass over the labeled table (two small joins against the
+        # merged-parent map), dropping now-intra-component rows; the
+        # janitor frees the superseded generation (plain unpersist
+        # cannot release checkpointed RDDs — checkpoints.py). This is
+        # the per-round contracted snapshot (reference: per-round
+        # sharded sink — callers can persist it).
+        pa = parent.select(F.col("comp").alias("ca"), F.col("p").alias("pa"))
+        pb = parent.select(F.col("comp").alias("cb"), F.col("p").alias("pb"))
+        if bcast_parent:
+            pa, pb = F.broadcast(pa), F.broadcast(pb)
+        # contract: compose the parent map onto the edge labels in ONE
+        # pass over the labeled table, dropping now-intra-component rows.
+        # (A lazy-cache variant that fused this materialization into the
+        # next round's aggregation measured SLOWER — 10.7s vs 6.6s at
+        # sf0.1 — the chained InMemoryRelation plans cost more than the
+        # eager checkpoint they saved; keep the per-round checkpoint.)
+        und = jan_und.checkpoint(
+            und.join(pa, "ca", "left")
+            .join(pb, "cb", "left")
+            .select(
+                "src",
+                "dst",
+                "w",
+                F.coalesce("pa", F.col("ca")).alias("ca"),
+                F.coalesce("pb", F.col("cb")).alias("cb"),
             )
+            .filter(F.col("ca") != F.col("cb"))
         )
-        # contracted edge table for the next round (reference: per-round
-        # sharded sink — callers can persist this snapshot)
-        und = jan_und.checkpoint(_lab(und, comp).select("src", "dst", "w"))
 
     if not forest_parts:
         return graph.edges.sparkSession.createDataFrame(

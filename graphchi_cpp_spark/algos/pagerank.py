@@ -75,9 +75,21 @@ def pagerank(
     """
     if mode not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown pagerank mode {mode!r}")
-    spark = graph.edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    from graphchi_cpp_spark.partitioning import (
+        adaptive_partitions,
+        scoped_shuffle_partitions,
+    )
 
+    spark = graph.edges.sparkSession
+    # data-derived partition count (guide §2); conf cap binds at scale
+    p = adaptive_partitions(spark, graph.edges.count())
+    with scoped_shuffle_partitions(spark, p):
+        return _pagerank_modes(
+            graph, spark, p, max_iter, tol, checkpoint_every, mode
+        )
+
+
+def _pagerank_modes(graph, spark, p, max_iter, tol, checkpoint_every, mode):
     if mode != "shuffle":
         # the broadcast plan wants dst-partitioned edges; build the
         # vertex state first so auto mode can count |V| (the count

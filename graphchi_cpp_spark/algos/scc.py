@@ -75,6 +75,20 @@ def strongly_connected_components(
     graph: PropertyGraph, max_rounds: int = 20
 ) -> DataFrame:
     """Returns (id, component) — component = min vertex id in the SCC."""
+    from graphchi_cpp_spark.partitioning import (
+        adaptive_partitions,
+        scoped_shuffle_partitions,
+    )
+
+    spark = graph.edges.sparkSession
+    # data-derived partition count for every per-round exchange and
+    # checkpoint layout (guide §2); the conf cap binds at cluster scale
+    p = adaptive_partitions(spark, graph.edges.count())
+    with scoped_shuffle_partitions(spark, p):
+        return _scc_rounds(graph, max_rounds)
+
+
+def _scc_rounds(graph: PropertyGraph, max_rounds: int) -> DataFrame:
     from graphchi_cpp_spark.algos.connected_components import BCAST_FRONTIER_MAX
 
     edges = graph.edges.select("src", "dst").distinct().localCheckpoint(eager=True)

@@ -327,9 +327,11 @@ def als(
         * 2
         / max(2, d)
     )
-    p = int(
-        ratings.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    )
+    from graphchi_cpp_spark.partitioning import adaptive_partitions
+
+    # data-derived partition count for the two rating caches (guide §2);
+    # the count also populates the base cache the setup fan-out reads
+    p = adaptive_partitions(ratings.sparkSession, ratings.count())
     ratings_u = ratings.repartition(p, "user").cache()
     ratings_i = ratings.repartition(p, "item").cache()
     # setup stats/init derive from the per-side caches (distinct is then

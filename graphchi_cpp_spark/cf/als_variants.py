@@ -248,8 +248,12 @@ def als_coord(
         # no rating row shuffled; one RMSE action per iteration
         # materializes both cached sweeps in a single job (the eager
         # per-half-step checkpoints were 2 extra jobs per iteration).
+        from graphchi_cpp_spark.partitioning import adaptive_partitions
+
         spark = r.sparkSession
-        p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        # data-derived partition count (guide §2); count populates the
+        # base cache the two repartitions read
+        p = adaptive_partitions(spark, r.count())
         cap = int(_os.environ.get("SPARK_GRAFT_ALS_BCAST_MAX_ROWS", 50_000_000))
         r_u = r.repartition(p, "user").cache()
         r_i = r.repartition(p, "item").cache()

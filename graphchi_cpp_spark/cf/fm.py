@@ -89,26 +89,76 @@ def featurize(
     # own DISTINCT scan over it (and the final encode reads it again) —
     # lazily, each of those re-executed the side-table joins
     work = work.localCheckpoint(eager=True)
-    vocabs, sizes = [], []
-    for _name, expr in specs:
-        vals = work.select(expr.alias("val")).distinct().localCheckpoint(
-            eager=True
-        )
-        n = vals.count()
-        if n <= window_limit:
-            vocab = vals.withColumn(
-                "code",
-                F.row_number().over(Window.orderBy("val")).cast("long") - 1,
+
+    # Build ALL vocabs in one pass per value TYPE instead of one full
+    # work-scan + window job per column: explode the columns of a type
+    # group into (column-index, value) rows, distinct once, then assign
+    # the per-column value-ordered contiguous codes with ONE window
+    # partitioned by column index. Per-column ordering (and therefore
+    # every code) is identical to the per-column row_number; only the
+    # number of passes over `work` changes (k scans -> one per type
+    # group). Grouping by exact Spark type is what lets the values share
+    # an array without a semantics-changing cast.
+    probe_fields = work.select(
+        *[expr.alias(f"_p_{i}") for i, (_n, expr) in enumerate(specs)]
+    ).schema.fields  # analysis only, no job
+    groups: dict[str, list[int]] = {}
+    for i, fld in enumerate(probe_fields):
+        groups.setdefault(fld.dataType.simpleString(), []).append(i)
+
+    vocabs: list[DataFrame | None] = [None] * len(specs)
+    sizes: list[int] = [0] * len(specs)
+    for idxs in groups.values():
+        combined = (
+            work.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("ci"),
+                                specs[i][1].alias("val"),
+                            )
+                            for i in idxs
+                        ]
+                    )
+                ).alias("x")
             )
-        else:
+            .select("x.ci", "x.val")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cnts = {
+            r["ci"]: r["count"]
+            for r in combined.groupBy("ci").count().collect()
+        }
+        small = [i for i in idxs if cnts.get(i, 0) <= window_limit]
+        if small:
+            voc = (
+                combined.where(F.col("ci").isin(small))
+                .withColumn(
+                    "code",
+                    F.row_number()
+                    .over(Window.partitionBy("ci").orderBy("val"))
+                    .cast("long")
+                    - 1,
+                )
+                .localCheckpoint(eager=True)
+            )
+            for i in small:
+                vocabs[i] = voc.where(F.col("ci") == i).select("val", "code")
+                sizes[i] = int(cnts.get(i, 0))
+        for i in idxs:
+            if i in small:
+                continue
             # distributed assignment of the same value-ordered contiguous
             # codes: range-partitioned sort, then zipWithIndex (indices
             # follow partition order, which after sort IS value order)
             spark = df.sparkSession
+            vals = combined.where(F.col("ci") == i).select("val")
             val_type = vals.schema["val"].dataType
             from pyspark.sql.types import LongType, StructField, StructType
 
-            vocab = spark.createDataFrame(
+            vocabs[i] = spark.createDataFrame(
                 vals.orderBy("val").rdd.zipWithIndex().map(
                     lambda t: (t[0]["val"], t[1])
                 ),
@@ -118,9 +168,8 @@ def featurize(
                         StructField("code", LongType()),
                     ]
                 ),
-            )
-        vocabs.append(vocab.localCheckpoint(eager=True))
-        sizes.append(n)
+            ).localCheckpoint(eager=True)
+            sizes[i] = int(cnts.get(i, 0))
     offsets = [sum(sizes[:i]) for i in range(len(sizes))]
 
     out = work

@@ -110,9 +110,10 @@ def run_streaming_pagerank(
     from graphchi_cpp_spark.algos.pagerank import BCAST_MAX_VERTS, DAMPING, RESET
     from graphchi_cpp_spark.checkpoints import CheckpointJanitor
 
+    from graphchi_cpp_spark.partitioning import adaptive_partitions
+
     spark = dg.base.sparkSession
     jan = CheckpointJanitor(spark)
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     # The pagerank broadcast-contrib plan trades O(|E|) shuffled rows per
     # superstep for a fixed per-superstep overhead (broadcast build +
     # distribute + an extra job). That trade only pays past a few million
@@ -134,6 +135,10 @@ def run_streaming_pagerank(
         )
         use_bcast = n_edges_hint >= bcast_min_edges
         if use_bcast:
+            # data-derived partition count for this batch's edge cache
+            # (guide §2) — the ingested-edge counter is already
+            # maintained, so no extra job; conf cap binds at scale
+            p = adaptive_partitions(spark, n_edges_hint)
             # edges dst-partitioned + cached once per batch, contributions
             # broadcast — zero |E|-row shuffles per superstep under the
             # vertex row cap (algos/pagerank.py), shuffle fallback above
