@@ -68,8 +68,20 @@ def item_similarity(
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
-    ui = ratings.select("user", "item").distinct()
     if max_user_degree is not None:
+        # dedup folded INTO the user-repartition (guide §2.4):
+        # hashpartitioning(user) satisfies the (user, item) dedup
+        # clustering, and the power-user window needs exactly that
+        # partitioning next — one |ratings|-row exchange instead of
+        # distinct's (user, item) shuffle followed by the window's
+        # hash(user) shuffle
+        spark = ratings.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        ui = (
+            ratings.select("user", "item")
+            .repartition(p, "user")
+            .dropDuplicates(["user", "item"])
+        )
         w = Window.partitionBy("user").orderBy(
             md5_long(F.concat_ws("_", "user", "item")), "item"
         )
@@ -100,7 +112,7 @@ def item_similarity(
         # materialized once (via the count below): referenced by degrees
         # AND both join sides; distinct's hashpartitioning(user, item)
         # survives the cache for the aggregate consumers
-        ui = ui.cache()
+        ui = ratings.select("user", "item").distinct().cache()
     item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
     user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
     # degree tables are O(#entities); broadcast below a size guard

@@ -52,6 +52,14 @@ def get_spark(
         # automatically NOT taken when partitions are GB-sized at
         # cluster scale), so no OOM risk from an unbounded build.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # shuffle/spill codec (guide §2.3): lz4 measured faster than zstd
+        # end-to-end on this host (local NVMe, CPU-bound shuffles — see
+        # OPTIMIZATION_r10.md); on network-bound clusters zstd's ratio
+        # usually wins, so the codec is env-tunable rather than fixed
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )
