@@ -155,6 +155,9 @@ def main():
                 entrymod._MEMO.update(memo_before)
                 spark.catalog.clearCache()
                 reclaim_blocks()
+                # label jobs (guide §1.5) so UI/event-log analysis can
+                # attribute stages to queries; no timing change
+                spark.sparkContext.setJobDescription(f"bench:{name}:warmup")
                 qs[name](spark, sf_dir).count()
             for _ in range(q_runs):
                 entrymod._MEMO.clear()
@@ -166,6 +169,7 @@ def main():
                 # based and unaffected)
                 spark.catalog.clearCache()
                 reclaim_blocks()
+                spark.sparkContext.setJobDescription(f"bench:{name}")
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 rows = df.count()
