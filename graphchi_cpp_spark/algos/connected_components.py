@@ -198,17 +198,23 @@ def connected_components_star(
     p = adaptive_partitions(spark, 2 * graph.edges.count())
     with scoped_shuffle_partitions(spark, p):
         E = _star_rounds(graph, p, max_iter)
-    comp = (
-        graph.vertices.select("id")
-        .join(
-            E.groupBy(F.col("src").alias("id")).agg(
-                F.min("dst").alias("_c")
-            ),
-            "id",
-            "left",
+        # build AND materialize the final comp aggregation inside the
+        # scope: the conf is read at execution time, so a merely-defined
+        # plan would run its (often largest) exchanges at the session
+        # conf once the caller materializes it — eager checkpoint here
+        # pins them to the adaptive p like every round before them
+        comp = (
+            graph.vertices.select("id")
+            .join(
+                E.groupBy(F.col("src").alias("id")).agg(
+                    F.min("dst").alias("_c")
+                ),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("_c", F.col("id")).alias("component"))
+            .localCheckpoint(eager=True)
         )
-        .select("id", F.coalesce("_c", F.col("id")).alias("component"))
-    )
     return comp
 
 

@@ -97,9 +97,10 @@ def _msf_loop(
     # is scanned, never shuffled, per round (the checkpointed inputs
     # carry no stats, so Catalyst alone would shuffle-join both sides).
     # Shuffle fallback above the cap.
-    bcast_parent_max = int(
-        _os.environ.get("SPARK_GRAFT_MSF_BCAST_MAX_COMP", 50_000_000)
-    )
+    from graphchi_cpp_spark.partitioning import broadcast_row_cap
+
+    # byte-derived cap: a (comp, p) map row hashes at ~64 B
+    bcast_parent_max = broadcast_row_cap(64, "SPARK_GRAFT_MSF_BCAST_MAX_COMP")
     for rnd in range(max_rounds):
         # per component, pick the cheapest outgoing edge straight off the
         # labeled table (cross-component by invariant: relabeling drops

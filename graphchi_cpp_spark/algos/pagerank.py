@@ -54,11 +54,15 @@ RESET = 0.15
 DAMPING = 0.85
 
 # Above this many vertices the per-superstep contribution broadcast
-# (~60 bytes/row hashed-relation footprint, times one copy per executor)
-# stops being cheaper than one shuffle of |V| message rows. 50M rows
-# ≈ 3 GB built — sized for the 48g single-JVM bench host; tune DOWN for
-# memory-tight executors.
-BCAST_MAX_VERTS = int(os.environ.get("SPARK_GRAFT_PR_BCAST_MAX_VERTS", 50_000_000))
+# (~64 bytes/row hashed-relation footprint, times one copy per executor)
+# stops being cheaper than one shuffle of |V| message rows. Default is
+# byte-derived from the session heap (partitioning.broadcast_row_cap:
+# 16g local driver → 2 GiB budget → ~33M rows, which keeps the measured
+# 30M-vertex/300M-edge broadcast path); tune DOWN for memory-tight
+# executors via SPARK_GRAFT_PR_BCAST_MAX_VERTS or the budget env.
+from graphchi_cpp_spark.partitioning import broadcast_row_cap as _brc
+
+BCAST_MAX_VERTS = _brc(64, "SPARK_GRAFT_PR_BCAST_MAX_VERTS")
 
 
 def pagerank(

@@ -59,8 +59,11 @@ def random_walks(
     # the matched frontier rows in the min_by aggregation. Row-capped
     # with the shuffle join as fallback (checkpointed inputs lose stats,
     # so Catalyst alone would sort-merge both sides every step).
-    bcast_walks = walks.count() <= int(
-        _os.environ.get("SPARK_GRAFT_WALKS_BCAST_MAX_ROWS", 50_000_000)
+    from graphchi_cpp_spark.partitioning import broadcast_row_cap
+
+    # byte-derived cap: a (walk_id, cur) state row hashes at ~64 B
+    bcast_walks = walks.count() <= broadcast_row_cap(
+        64, "SPARK_GRAFT_WALKS_BCAST_MAX_ROWS"
     )
     visit_parts: list[DataFrame] = []
     for step in range(steps):
@@ -86,10 +89,12 @@ def random_walks(
             .groupBy("walk_id")
             .agg(F.min_by("dst", F.struct("r", "dst")).alias("nxt"))
         )
-        # stepped (≤ one row per walk) broadcasts into the update join;
-        # superseded walk-state checkpoints are freed by the janitor,
-        # EXCEPT that every step's state also feeds a visit part — so
-        # keep per-step states alive by checkpointing visits separately
+        # stepped (≤ one row per walk) broadcasts into the update join.
+        # Per-step walk-state checkpoints are deliberately RETAINED (no
+        # janitor here): every step's state also feeds a visit part that
+        # the final aggregation reads, so nothing is superseded until the
+        # function returns — the ContextCleaner / periodic GC reclaims
+        # them afterwards.
         walks = (
             walks.join(
                 F.broadcast(stepped) if bcast_walks else stepped,

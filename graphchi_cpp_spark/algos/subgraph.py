@@ -30,9 +30,10 @@ def khop_vertices(graph: PropertyGraph, seeds: DataFrame, hops: int) -> DataFram
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
 
-    import os as _os
+    from graphchi_cpp_spark.partitioning import broadcast_row_cap
 
-    cap = int(_os.environ.get("SPARK_GRAFT_KHOP_BCAST_MAX_ROWS", 50_000_000))
+    # byte-derived cap: an (id, hop) row hashes at ~56 B
+    cap = broadcast_row_cap(56, "SPARK_GRAFT_KHOP_BCAST_MAX_ROWS")
     reached = seeds.select("id", F.lit(0).alias("hop")).localCheckpoint(eager=True)
     frontier = reached.select("id")
     n_frontier = reached.count()

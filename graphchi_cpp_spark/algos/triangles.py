@@ -175,7 +175,14 @@ def triangle_count(graph: PropertyGraph, orient: str = "degree"):
         e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .join(ba, "a")
         .join(bb, "b")
-        .agg(F.sum(common).cast("long").alias("n_triangles"))
+        # coalesce: when no oriented edge's dst has out-neighbors (e.g. a
+        # star graph) the bb join drops every row and sum() yields NULL —
+        # the join-plan fallback returns 0 for the same graph
+        .agg(
+            F.coalesce(F.sum(common), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
 
 

@@ -322,11 +322,11 @@ def als(
     # item at write time. Above the cap (broadcast payload scales as
     # rows × d × executors, so the row cap shrinks with d) the gather
     # join falls back to shuffle.
-    bcast_cap = int(
-        int(os.environ.get("SPARK_GRAFT_ALS_BCAST_MAX_ROWS", 50_000_000))
-        * 2
-        / max(2, d)
-    )
+    from graphchi_cpp_spark.partitioning import broadcast_row_cap
+
+    # byte-derived: a factor row (id + d doubles + array header) hashes
+    # at ~(64 + 8d) B, so the cap shrinks with d automatically
+    bcast_cap = broadcast_row_cap(64 + 8 * d, "SPARK_GRAFT_ALS_BCAST_MAX_ROWS")
     from graphchi_cpp_spark.partitioning import adaptive_partitions
 
     # data-derived partition count for the two rating caches (guide §2);

@@ -254,7 +254,10 @@ def als_coord(
         # data-derived partition count (guide §2); count populates the
         # base cache the two repartitions read
         p = adaptive_partitions(spark, r.count())
-        cap = int(_os.environ.get("SPARK_GRAFT_ALS_BCAST_MAX_ROWS", 50_000_000))
+        from graphchi_cpp_spark.partitioning import broadcast_row_cap
+
+        # byte-derived, d-aware (see cf/als.py)
+        cap = broadcast_row_cap(64 + 8 * d, "SPARK_GRAFT_ALS_BCAST_MAX_ROWS")
         r_u = r.repartition(p, "user").cache()
         r_i = r.repartition(p, "item").cache()
         user_f = _init_factors(

@@ -65,6 +65,13 @@ def item_similarity(
     a documented approximation for a hard bound on join fan-out. Pass
     ``max_user_degree=None`` to opt into the uncapped exact computation.
     The number of capped users is logged at INFO when the cap binds.
+
+    Cache lifetime: the returned (lazy) plan reads a ``cache()``d
+    intermediate whose InMemoryRelation partitioning is what makes the
+    self-join exchange-free, so it CANNOT be unpersisted here. Library
+    callers that materialize the result (checkpoint/write) should call
+    ``spark.catalog.clearCache()`` — or unpersist via the catalog —
+    when running many similarity builds in one long-lived session.
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
@@ -113,11 +120,15 @@ def item_similarity(
         # AND both join sides; distinct's hashpartitioning(user, item)
         # survives the cache for the aggregate consumers
         ui = ratings.select("user", "item").distinct().cache()
+    from graphchi_cpp_spark.partitioning import broadcast_row_cap
+
     item_deg = ui.groupBy("item").agg(F.count("*").alias("n"))
     user_deg = ui.groupBy("user").agg(F.count("*").alias("user_deg"))
-    # degree tables are O(#entities); broadcast below a size guard
-    # (checkpointed inputs lose stats → Catalyst would sort-merge)
-    small = ui.count() <= 50_000_000
+    # degree tables are O(#entities); broadcast below a byte-derived size
+    # guard (checkpointed inputs lose stats → Catalyst would sort-merge).
+    # |ui| bounds #entities, and a (long, long) degree row hashes at
+    # ~64 B — the cap approximates the broadcast byte budget.
+    small = ui.count() <= broadcast_row_cap(64)
     bcast = F.broadcast if small else (lambda df: df)
 
     a = ui.select("user", F.col("item").alias("item_a"))
@@ -240,8 +251,9 @@ def itemsim2rating(
     callers round at 6.
 
     Physical strategy: when the expanded similarity table fits the
-    broadcast row cap (``SPARK_GRAFT_SIMS_BCAST_MAX_ROWS``, default
-    50M), the user history is hash-partitioned by user ONCE (dedup
+    broadcast row cap (``SPARK_GRAFT_SIMS_BCAST_MAX_ROWS``; default
+    byte-derived, see ``partitioning.broadcast_row_cap``), the user
+    history is hash-partitioned by user ONCE (dedup
     folded into that exchange) and everything downstream — the gather
     join against the BROADCAST sims, the per-(user, item) score
     aggregation (hash(user) satisfies its clustering), the seen-items
@@ -262,7 +274,10 @@ def itemsim2rating(
     score_expr = F.sum("sim")
     if score_ndigits is not None:
         score_expr = F.round(score_expr, score_ndigits)
-    cap = int(_os.environ.get("SPARK_GRAFT_SIMS_BCAST_MAX_ROWS", 50_000_000))
+    from graphchi_cpp_spark.partitioning import broadcast_row_cap
+
+    # byte-derived: an expanded (item_a, item_b, sim) row hashes at ~72 B
+    cap = broadcast_row_cap(72, "SPARK_GRAFT_SIMS_BCAST_MAX_ROWS")
     # sims is typically an eagerly-materialized table (memo/checkpoint)
     # so this count is a cheap scan, not a recompute
     if 2 * sims.count() <= cap:

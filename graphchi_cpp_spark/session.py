@@ -43,15 +43,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # prefer hash joins over sort-merge where safe: most joins here
-        # run on checkpointed/cached inputs whose stats are gone, so the
-        # planner would default to SMJ and pay two sorts per join. The
-        # AQE rewrite is the scale-adaptive guard — it only swaps
-        # SMJ→shuffled-hash when every post-shuffle partition of the
-        # build side is under the threshold (small at bench scale,
-        # automatically NOT taken when partitions are GB-sized at
-        # cluster scale), so no OOM risk from an unbounded build.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r11 A/B (verdict task 2) REVERTED the r10 shuffled-hash-join
+        # preference: with everything else fixed, preferSortMergeJoin=
+        # false measured 83.3s vs 78.6s total on the driver's invocation
+        # shape, regressing 9 queries >15% (ann_cosine 0.65×, simhash
+        # 0.76×, streaming_pagerank 0.78×, featurized 0.81×, ann_lsh/
+        # ann_ivf/als_coord 0.85-0.87×) while helping nothing beyond
+        # noise — matching the driver-observed r10 regression cluster on
+        # untouched queries. SMJ's sorts are cheap on these mostly-small
+        # post-shuffle partitions, and SMJ spills gracefully; SHJ stays
+        # one env var away (SPARK_GRAFT_PREFER_SHJ=1, with the 64m AQE
+        # per-partition build guard) for workloads that measure faster.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "false" if os.environ.get("SPARK_GRAFT_PREFER_SHJ") == "1" else "true",
+        )
         # shuffle/spill codec (guide §2.3): lz4 measured faster than zstd
         # end-to-end on this host (local NVMe, CPU-bound shuffles — see
         # OPTIMIZATION_r10.md); on network-bound clusters zstd's ratio
@@ -61,7 +67,8 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
         .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m" if os.environ.get("SPARK_GRAFT_PREFER_SHJ") == "1" else "0",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -85,8 +92,18 @@ def get_spark(
         # concurrent cycle instead bled marking work into the next
         # timed query (measured +30-100% on the queries that follow
         # garbage-heavy ones).
+        # A/B knob (r10 verdict task 2): SPARK_GRAFT_HEAP_FREE_RATIO=jvm
+        # drops the flag entirely (JVM default shrink policy). r11 A/B
+        # on the driver's invocation shape KEPT the flag: ratio=100
+        # measured 78.6s vs 81.2s total for the JVM default, with the
+        # flag flat-or-better on 24 of 32 queries (als_coord 0.74× and
+        # featurized 0.83× without it).
         .config(
-            "spark.driver.extraJavaOptions", "-XX:MaxHeapFreeRatio=100"
+            "spark.driver.extraJavaOptions",
+            ""
+            if os.environ.get("SPARK_GRAFT_HEAP_FREE_RATIO") == "jvm"
+            else "-XX:MaxHeapFreeRatio="
+            + os.environ.get("SPARK_GRAFT_HEAP_FREE_RATIO", "100"),
         )
         # localCheckpoint blocks are only reclaimed when the ContextCleaner
         # sees the RDD get GC'd; with a roomy heap the driver may not GC for

@@ -75,6 +75,18 @@ def test_triangle_dense_bitmap_matches_join_plan(spark, sf_dir, monkeypatch):
     assert dense == tri_mod.triangles(g, orient="id").count()
 
 
+def test_triangle_dense_bitmap_triangle_free(spark):
+    """Dense-mode count on a triangle-free graph must be 0, not NULL:
+    on a star no oriented dst has out-neighbors, so the bitmap join
+    drops every edge and the aggregate input is empty."""
+    star = PropertyGraph.from_edges(
+        spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    )
+    for orient in ("id", "degree"):
+        n = triangle_count(star, orient=orient).collect()[0]["n_triangles"]
+        assert n == 0
+
+
 def test_kcores_tiny(spark):
     # K4 on {0,1,2,3} (core 3), path 10-11-12 (core 1), isolated 20
     edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
