@@ -255,7 +255,11 @@ def _star_rounds(graph: PropertyGraph, p: int, max_iter: int) -> DataFrame:
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .repartition(p, "src")
-            .localCheckpoint(eager=True)
+            # lazy: the signature aggregation below references nE exactly
+            # once and MATERIALIZES the checkpoint in the same job — the
+            # eager variant paid a materialization job, then re-scanned
+            # the same blocks for the signature (two jobs per round)
+            .localCheckpoint(eager=False)
         )
         # fixpoint signature: count + modular hash sum (pmod keeps the
         # ANSI-mode sum far from long overflow at any edge count)

@@ -123,12 +123,14 @@ def _hindex_loop(graph, spark, jan, p, max_iter, stats):
             .groupBy(F.col("src").alias("id"))
             .agg(F.max("m").cast("int").alias("h"))
         )
-        # ONE materialization per iteration: checkpoint the new state
-        # directly (chg rides along as a 1-byte column) and read the
-        # change probe off the materialized blocks — the former
-        # cache-then-checkpoint pattern ran the iteration's plan twice
-        # (once to populate the cache for the probe, once to checkpoint)
-        nc = jan.checkpoint(
+        # ONE job per iteration: the lazy checkpoint is materialized BY
+        # the change probe (the former eager checkpoint paid a
+        # materialization job, then a probe job over the same blocks;
+        # before that, cache-then-checkpoint ran the plan twice). chg
+        # rides the checkpoint as a 1-byte column; the probe's filter
+        # sits above the checkpointed RDD, so its count computes and
+        # persists every partition.
+        nc = jan.checkpoint_lazy(
             c.join(h, "id", "left")
             .select(
                 "id",
@@ -138,7 +140,8 @@ def _hindex_loop(graph, spark, jan, p, max_iter, stats):
                 ),
             )
         )
-        changed = nc.filter("chg").limit(1).count() > 0
+        changed = nc.filter("chg").count() > 0
+        jan.sweep()
         c.unpersist()
         c = nc.drop("chg")
         if not changed:

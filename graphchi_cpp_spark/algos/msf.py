@@ -82,7 +82,9 @@ def _msf_loop(
         .select(
             "src", "dst", "w", F.col("src").alias("ca"), F.col("dst").alias("cb")
         )
-        .localCheckpoint(eager=True)
+        # lazy: round 1's per_comp count references und once and
+        # materializes it inside its own job
+        .localCheckpoint(eager=False)
     )
     forest_parts: list[DataFrame] = []
 
@@ -112,7 +114,10 @@ def _msf_loop(
             F.struct("w", "src", "dst", "ca", "cb").alias("e"),
         )
         # per_comp checkpoints are NOT janitored: every round's forest
-        # part reads from its round's blocks until the final union
+        # part reads from its round's blocks until the final union.
+        # Lazy: the count below references it once and materializes the
+        # checkpoint in the same job (was a materialization job + a
+        # count job over the same blocks, ~1 job saved per round)
         per_comp = (
             cand.groupBy("comp")
             .agg(F.min("e").alias("e"))
@@ -125,7 +130,7 @@ def _msf_loop(
                 .otherwise(F.col("e.ca"))
                 .alias("other"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_comp = per_comp.count()
         if n_comp == 0:
@@ -188,6 +193,9 @@ def _msf_loop(
             )
             while True:
                 pp = parent.select(F.col("comp").alias("p"), F.col("p").alias("gp"))
+                # lazy + full chg count: one job per jump (the filter
+                # sits above the checkpointed RDD, so the count computes
+                # and persists every partition in the same job)
                 np_ = (
                     parent.join(pp, "p", "left")
                     .select(
@@ -195,9 +203,9 @@ def _msf_loop(
                         F.coalesce("gp", F.col("p")).alias("p"),
                         (F.coalesce("gp", F.col("p")) != F.col("p")).alias("chg"),
                     )
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
-                changed = np_.filter("chg").limit(1).count() > 0
+                changed = np_.filter("chg").count() > 0
                 parent = np_.drop("chg")
                 if not changed:
                     break

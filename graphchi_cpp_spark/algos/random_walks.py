@@ -51,7 +51,9 @@ def random_walks(
         .select(
             (F.col("cur") * walks_per_source + F.col("w")).alias("walk_id"), "cur"
         )
-        .localCheckpoint(eager=True)
+        # lazy: the cap-decision count below materializes the checkpoint
+        # in the same job, before the step loop's dual references
+        .localCheckpoint(eager=False)
     )
     # the walk state is tiny next to the edge table (one row per walk):
     # broadcast it into the per-step gather join so the edges are only

@@ -44,7 +44,8 @@ def _propagate_min(edges: DataFrame, vertices: DataFrame, max_iter: int = 100) -
 
     jan = CheckpointJanitor(edges.sparkSession)
     v = vertices.select("id", F.col("id").alias("color"), F.lit(True).alias("act"))
-    v = v.localCheckpoint(eager=True)
+    # lazy: the count below materializes the checkpoint in the same job
+    v = v.localCheckpoint(eager=False)
     n_active = v.count()
     for _ in range(max_iter):
         frontier = v.filter("act").select(F.col("id").alias("src"), "color")
@@ -55,15 +56,19 @@ def _propagate_min(edges: DataFrame, vertices: DataFrame, max_iter: int = 100) -
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("color").alias("m"))
         )
-        nv = jan.checkpoint(
+        # job folding: the lazy checkpoint is materialized BY the
+        # active-count probe (one job per superstep; the eager variant
+        # paid a checkpoint job plus a probe job over the same blocks).
+        # The probe references v exactly once — checkpoint_lazy contract.
+        v = jan.checkpoint_lazy(
             v.join(msgs, "id", "left").select(
                 "id",
                 F.least(F.col("color"), F.coalesce("m", F.col("color"))).alias("color"),
                 (F.coalesce("m", F.col("color") + 1) < F.col("color")).alias("act"),
             )
         )
-        v = nv
         n_active = v.filter("act").count()
+        jan.sweep()
         if n_active == 0:
             break
     # the final generation's blocks stay alive (the janitor only frees
@@ -92,7 +97,8 @@ def _scc_rounds(graph: PropertyGraph, max_rounds: int) -> DataFrame:
     from graphchi_cpp_spark.algos.connected_components import BCAST_FRONTIER_MAX
 
     edges = graph.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    remaining = graph.vertices.select("id").localCheckpoint(eager=True)
+    # lazy: the round-top count materializes it in the same job
+    remaining = graph.vertices.select("id").localCheckpoint(eager=False)
     assigned_parts: list[DataFrame] = []
 
     def _b(df, small):
@@ -109,23 +115,36 @@ def _scc_rounds(graph: PropertyGraph, max_rounds: int) -> DataFrame:
         # 0. trim: vertices with no in- or no out-edges in the remaining
         #    graph are singleton SCCs (kills chains/DAG periphery fast —
         #    the standard FW-BW-Trim step)
+        n_left = n_remaining
         while True:
             srcs = edges.select(F.col("src").alias("id")).distinct()
             dsts = edges.select(F.col("dst").alias("id")).distinct()
             nontrivial = srcs.join(_b(dsts, small), "id", "left_semi")
+            # job folding: the count materializes the lazy checkpoint in
+            # the same job (was an eager-checkpoint job + a limit(1)
+            # probe job over its blocks)
             trivial = remaining.join(
                 _b(nontrivial, small), "id", "left_anti"
-            ).localCheckpoint(eager=True)
-            if trivial.limit(1).count() == 0:
+            ).localCheckpoint(eager=False)
+            n_trivial = trivial.count()
+            if n_trivial == 0:
                 break
+            n_left -= n_trivial
+            # lazy projection over the materialized blocks — the former
+            # eager re-checkpoint of the same rows was one full extra
+            # job per trim round for a column rename
             assigned_parts.append(
-                trivial.select("id", F.col("id").alias("component")).localCheckpoint(
-                    eager=True
-                )
+                trivial.select("id", F.col("id").alias("component"))
             )
+            # lazy: the next consumer (the following trim probe's count,
+            # or _propagate_min's superstep-0 count) references it once
+            # and materializes it in its own job
             remaining = remaining.join(
                 _b(trivial, small), "id", "left_anti"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
+            # edges stays EAGER: the next trim probe reads it twice
+            # (srcs + dsts subtrees of one job) — an unmaterialized lazy
+            # checkpoint would compute the rewrite once per consumer
             edges = (
                 edges.join(
                     _b(trivial.withColumnRenamed("id", "src"), small),
@@ -140,7 +159,10 @@ def _scc_rounds(graph: PropertyGraph, max_rounds: int) -> DataFrame:
                 .select("src", "dst")
                 .localCheckpoint(eager=True)
             )
-        if remaining.limit(1).count() == 0:
+        # trivial ⊆ remaining and both are duplicate-free, so the counts
+        # already taken replace the former remaining.limit(1).count()
+        # probe job per round
+        if n_left == 0:
             break
         # 1. forward coloring from min ids
         colors = _propagate_min(edges, remaining)
@@ -179,9 +201,12 @@ def _scc_rounds(graph: PropertyGraph, max_rounds: int) -> DataFrame:
             BCAST_FRONTIER_MAX,
         )
 
+        # job folding (this wave loop is wave-per-job on long chains —
+        # the count materializes each lazy checkpoint, halving per-wave
+        # jobs vs eager-checkpoint + count over the same blocks)
         confirmed = colors.filter(F.col("id") == F.col("color")).select(
             "id"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = confirmed
         n_confirmed = confirmed.count()
         while True:
@@ -195,7 +220,7 @@ def _scc_rounds(graph: PropertyGraph, max_rounds: int) -> DataFrame:
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(c_side, "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n = nxt.count()
             if n == 0:
@@ -208,10 +233,11 @@ def _scc_rounds(graph: PropertyGraph, max_rounds: int) -> DataFrame:
         )
         assigned_parts.append(scc.localCheckpoint(eager=True))
         scc = assigned_parts[-1]
-        # 3. remove assigned vertices and their edges
+        # 3. remove assigned vertices and their edges (remaining lazy —
+        #    the next round-top count references it once and materializes)
         remaining = remaining.join(
             _b(scc.select("id"), small), "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         edges = (
             edges.join(
                 _b(scc.select(F.col("id").alias("src")), small), "src", "left_anti"

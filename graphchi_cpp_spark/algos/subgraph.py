@@ -34,7 +34,8 @@ def khop_vertices(graph: PropertyGraph, seeds: DataFrame, hops: int) -> DataFram
 
     # byte-derived cap: an (id, hop) row hashes at ~56 B
     cap = broadcast_row_cap(56, "SPARK_GRAFT_KHOP_BCAST_MAX_ROWS")
-    reached = seeds.select("id", F.lit(0).alias("hop")).localCheckpoint(eager=True)
+    # lazy: the count below materializes the checkpoint in the same job
+    reached = seeds.select("id", F.lit(0).alias("hop")).localCheckpoint(eager=False)
     frontier = reached.select("id")
     n_frontier = reached.count()
     for h in range(1, hops + 1):
@@ -49,12 +50,14 @@ def khop_vertices(graph: PropertyGraph, seeds: DataFrame, hops: int) -> DataFram
         if n_frontier <= cap:
             f_side = F.broadcast(f_side)
             r_side = F.broadcast(r_side)
+        # job folding: the count materializes the lazy checkpoint in the
+        # same job (was an eager-checkpoint job + a count job per hop)
         nxt = (
             sym.join(f_side, "src", "left_semi")
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(r_side, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         if n == 0:

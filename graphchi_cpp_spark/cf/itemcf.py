@@ -84,37 +84,57 @@ def item_similarity(
         # hash(user) shuffle
         spark = ratings.sparkSession
         p = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
-        ui = (
+        # cache, not localCheckpoint: InMemoryRelation preserves
+        # hashpartitioning(user), so the downstream self-join on user
+        # runs with ZERO additional exchanges on either side (a
+        # checkpointed scan loses outputPartitioning and re-shuffles
+        # |ui| twice). The count below populates the cache before any
+        # multi-consumer job reads it.
+        deduped = (
             ratings.select("user", "item")
             .repartition(p, "user")
             .dropDuplicates(["user", "item"])
+            .cache()
         )
-        w = Window.partitionBy("user").orderBy(
-            md5_long(F.concat_ws("_", "user", "item")), "item"
+        # Cap pre-check (guide §1.2: don't compute what you throw away):
+        # the md5-ordered cap window costs a per-row cross-engine hash
+        # over the WHOLE matrix, but on inputs where no user exceeds the
+        # cap its filter keeps every row — so probe max degree first
+        # (co-partitioned groupBy on the cache: no exchange, no md5) and
+        # only run the window when the cap actually binds. Both branches
+        # are result-identical by construction; the probe is one cheap
+        # aggregation pass over the already-partitioned cache.
+        max_deg = (
+            deduped.groupBy("user")
+            .agg(F.count("*").alias("dg"))
+            .agg(F.max("dg").alias("m"))
+            .collect()[0]["m"]
         )
-        # cache, not localCheckpoint: InMemoryRelation preserves the
-        # window's hashpartitioning(user), so the downstream self-join
-        # on user runs with ZERO additional exchanges on either side
-        # (a checkpointed scan loses outputPartitioning and re-shuffles
-        # |ui| twice). The ``small = ui.count()`` below populates the
-        # cache before any multi-consumer job reads it.
-        marked = ui.withColumn("_rn", F.row_number().over(w)).cache()
-        # the capped-user count is a full extra job over the matrix —
-        # only pay for it when INFO logging will actually surface it
-        if log.isEnabledFor(logging.INFO):
-            n_capped = (
-                marked.filter(F.col("_rn") > max_user_degree)
-                .select("user")
-                .distinct()
-                .count()
+        if max_deg is not None and max_deg > max_user_degree:
+            w = Window.partitionBy("user").orderBy(
+                md5_long(F.concat_ws("_", "user", "item")), "item"
             )
-            if n_capped:
-                log.info(
-                    "item_similarity: capped %d power user(s) at degree %d",
-                    n_capped,
-                    max_user_degree,
+            marked = deduped.withColumn(
+                "_rn", F.row_number().over(w)
+            ).cache()
+            # the capped-user count is a full extra job over the matrix
+            # — only pay for it when INFO logging will surface it
+            if log.isEnabledFor(logging.INFO):
+                n_capped = (
+                    marked.filter(F.col("_rn") > max_user_degree)
+                    .select("user")
+                    .distinct()
+                    .count()
                 )
-        ui = marked.filter(F.col("_rn") <= max_user_degree).drop("_rn")
+                if n_capped:
+                    log.info(
+                        "item_similarity: capped %d power user(s) at degree %d",
+                        n_capped,
+                        max_user_degree,
+                    )
+            ui = marked.filter(F.col("_rn") <= max_user_degree).drop("_rn")
+        else:
+            ui = deduped
     else:
         # materialized once (via the count below): referenced by degrees
         # AND both join sides; distinct's hashpartitioning(user, item)
@@ -158,6 +178,11 @@ def item_similarity(
 
     co = pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("c"))
     co = co.filter(F.col("c") >= min_common)
+    # materialize the degree table ONCE: na and nb are two separate
+    # broadcast exchanges, and without this each would re-scan the full
+    # matrix to rebuild the same aggregate (measured: one full cache
+    # scan per broadcast at sf0.1)
+    item_deg = item_deg.localCheckpoint(eager=True)
     na = bcast(item_deg.select(F.col("item").alias("item_a"), F.col("n").alias("na")))
     nb = bcast(item_deg.select(F.col("item").alias("item_b"), F.col("n").alias("nb")))
     j = co.join(na, "item_a").join(nb, "item_b")

@@ -46,6 +46,7 @@ class CheckpointJanitor:
     def __init__(self, spark) -> None:
         self.spark = spark
         self._prev_gen: set[int] = set()
+        self._pending_gen: set[int] | None = None
 
     def _ids(self) -> set[int]:
         m = self.spark.sparkContext._jsc.getPersistentRDDs()
@@ -58,6 +59,33 @@ class CheckpointJanitor:
         self.free(self._prev_gen, blocking)
         self._prev_gen = new_gen
         return out
+
+    def checkpoint_lazy(self, df):
+        """Job-folding variant: ``localCheckpoint(eager=False)`` marks the
+        RDD persistent immediately but materializes it on the CALLER's
+        next action — fold the superstep's state materialization and its
+        convergence probe (count/aggregate) into ONE job instead of an
+        eager-checkpoint job followed by a probe job over the same
+        blocks. Contract: the folding action's plan must reference the
+        returned frame exactly ONCE (a multi-consumer plan over an
+        unmaterialized lazy checkpoint recomputes the subtree per
+        consumer), and the caller must invoke :meth:`sweep` AFTER that
+        action — the previous generation's blocks are still live inputs
+        of the lazy plan until it materializes, so freeing them here
+        (as the eager path does) would recompute or lose them."""
+        before = self._ids()
+        out = df.localCheckpoint(eager=False)
+        self._pending_gen = self._ids() - before
+        return out
+
+    def sweep(self, blocking: bool = False) -> None:
+        """Free the generation superseded by the last ``checkpoint_lazy``
+        (call once its materializing action has run)."""
+        if self._pending_gen is None:
+            return
+        self.free(self._prev_gen, blocking)
+        self._prev_gen = self._pending_gen
+        self._pending_gen = None
 
     def free(self, ids: set[int], blocking: bool = False) -> None:
         if not ids:

@@ -44,6 +44,7 @@ class DynamicGraph:
         self.base_path = base_path
         self.buffer: DataFrame | None = None  # (src, dst, op)
         self.base_count = self.base.count()
+        self._buffer_stats: tuple[int, int] | None = None  # (n_buf, n_del)
 
     def ingest_batch(self, batch: DataFrame) -> None:
         """X1/C9: append a micro-batch of (src, dst, op['add'|'delete'])."""
@@ -53,6 +54,22 @@ class DynamicGraph:
         self.buffer = (
             b if self.buffer is None else self.buffer.unionByName(b)
         ).localCheckpoint(eager=True)
+        self._buffer_stats = None
+
+    def buffer_stats(self) -> tuple[int, int]:
+        """(buffered rows, buffered deletes) in ONE aggregation job over
+        the checkpointed buffer (was two separate counts); memoized until
+        the next ingest/compact so threshold checks and size hints share
+        the same job."""
+        if self.buffer is None:
+            return (0, 0)
+        if self._buffer_stats is None:
+            row = self.buffer.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("op") == "delete").cast("long")).alias("d"),
+            ).collect()[0]
+            self._buffer_stats = (int(row["n"]), int(row["d"] or 0))
+        return self._buffer_stats
 
     def edges(self) -> DataFrame:
         """X2: computation-visible edge set = base ∪ buffered adds,
@@ -74,8 +91,7 @@ class DynamicGraph:
         """X3 thresholds (reference: buffers big, or ~10-20% deleted)."""
         if self.buffer is None:
             return False
-        n_buf = self.buffer.count()
-        n_del = self.buffer.filter(F.col("op") == "delete").count()
+        n_buf, n_del = self.buffer_stats()
         base = max(self.base_count, 1)
         return n_buf > buffer_ratio * base or n_del > deleted_ratio * base
 
@@ -85,9 +101,14 @@ class DynamicGraph:
         merged = self.edges().localCheckpoint(eager=True)
         if self.base_path is not None:
             merged.write.mode("overwrite").parquet(self.base_path)
+            # the parquet rewrite IS the materialization; reading it back
+            # needs no second checkpoint
             merged = merged.sparkSession.read.parquet(self.base_path)
-        self.base = merged.localCheckpoint(eager=True)
+        # merged is already materialized either way — a second eager
+        # checkpoint of the same rows was one full extra job per compact
+        self.base = merged
         self.buffer = None
+        self._buffer_stats = None
         self.base_count = self.base.count()
 
     def graph(self) -> PropertyGraph:
@@ -130,9 +151,8 @@ def run_streaming_pagerank(
         if auto_compact and dg.should_compact():
             dg.compact()
         g = dg.graph()
-        n_edges_hint = dg.base_count + (
-            dg.buffer.count() if dg.buffer is not None else 0
-        )
+        # memoized single-job stats (shared with should_compact above)
+        n_edges_hint = dg.base_count + dg.buffer_stats()[0]
         use_bcast = n_edges_hint >= bcast_min_edges
         if use_bcast:
             # data-derived partition count for this batch's edge cache
@@ -165,7 +185,7 @@ def run_streaming_pagerank(
             )
         v = jan.checkpoint(v.repartition(p, "id") if use_bcast else v)
         bcast = use_bcast and v.count() <= BCAST_MAX_VERTS
-        for _ in range(supersteps_per_batch):
+        for step in range(supersteps_per_batch):
             contrib = v.select(
                 F.col("id").alias("src"),
                 F.try_divide(F.col("rank"), F.col("outdeg")).alias("m"),
@@ -177,15 +197,31 @@ def run_streaming_pagerank(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum("m").alias("s"))
             )
-            v = jan.checkpoint(
-                v.join(msgs, "id", "left").select(
-                    "id",
-                    "outdeg",
-                    (F.lit(RESET) + F.lit(DAMPING) * F.coalesce("s", F.lit(0.0))).alias(
-                        "rank"
-                    ),
-                )
+            nv = v.join(msgs, "id", "left").select(
+                "id",
+                "outdeg",
+                (F.lit(RESET) + F.lit(DAMPING) * F.coalesce("s", F.lit(0.0))).alias(
+                    "rank"
+                ),
             )
+            # broadcast mode NEEDS an eager cut per superstep (the
+            # contrib broadcast re-executes the full uncut lineage —
+            # algos/pagerank.py). The small-graph join mode chains
+            # supersteps LAZILY like _pagerank_shuffle's fixed-iteration
+            # path: duplicated v-subtrees share shuffle map stages, so
+            # the batch's supersteps collapse into the ONE ranks-
+            # checkpoint job below (was one eager job per superstep —
+            # pure per-job overhead at micro-batch scale). The chain is
+            # CUT every 3 supersteps: v appears twice per step (contrib
+            # + the outer join), so an uncut chain doubles the logical
+            # plan per step — 2^k subtrees stalls the PLANNER for large
+            # k (observed: supersteps_per_batch=30 never finished
+            # analysis). A cut every 3 bounds planning at 8 v-subtrees
+            # while keeping the common 3-superstep batch a single job.
+            if bcast or (step + 1) % 3 == 0 and step + 1 < supersteps_per_batch:
+                v = jan.checkpoint(nv)
+            else:
+                v = nv
         ranks = v.select("id", "rank").localCheckpoint(eager=True)
         if use_bcast:
             edges.unpersist()
