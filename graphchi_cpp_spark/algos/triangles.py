@@ -76,7 +76,9 @@ def _oriented_edges(graph: PropertyGraph, orient: str) -> DataFrame:
 BROADCAST_EDGE_LIMIT = 5_000_000
 
 
-def triangles(graph: PropertyGraph, orient: str = "id") -> DataFrame:
+def triangles(
+    graph: PropertyGraph, orient: str = "id", oriented: DataFrame | None = None
+) -> DataFrame:
     """All triangles as rows (a, b, c) with a<b<c in orientation order.
 
     Join strategy: checkpointed inputs lose size stats, so Catalyst would
@@ -85,20 +87,36 @@ def triangles(graph: PropertyGraph, orient: str = "id") -> DataFrame:
     shuffle-free codegen stage (the relational analog of GraphChi's
     pivot-batch in-memory adjacency, ``trianglecounting.cpp:91``). Above
     the limit: shuffle joins on b / (a,c), AQE skew-splitting hubs.
+
+    ``oriented``: an already-MATERIALIZED oriented edge table to reuse
+    (``triangle_count``'s join fallback passes its own — rebuilding the
+    orientation from scratch here held a third |E|-row block table live
+    and re-ran the degree joins, the heap-OOM observed at 100M edges).
     """
-    # Materialize the oriented table GLOBALLY SORTED by (src, dst): the
-    # broadcast hash relations for e2/e3 are then built in ascending key
-    # order and the wedge stream probes them in (near-)ascending order,
-    # which turns the second join's ~|wedges| random probes into
-    # sequential memory walks. Measured on the sf0.1 cosupply graph
-    # (complete K1000, 166M wedges): 14s vs 24-40s for the identical
-    # plan over an unsorted layout — the plan shape does not change,
-    # only the physical row order. The range shuffle costs one |E|-row
-    # exchange, noise next to the wedge phase it accelerates.
-    e = _materialize_postings(
-        _oriented_edges(graph, orient).orderBy("src", "dst"), "tri_oriented"
-    )
-    small = e.count() <= BROADCAST_EDGE_LIMIT
+    if oriented is None:
+        oriented = _materialize_postings(
+            _oriented_edges(graph, orient), "tri_oriented"
+        )
+    n = oriented.count()
+    small = n <= BROADCAST_EDGE_LIMIT
+    if small:
+        # Re-materialize GLOBALLY SORTED by (src, dst): the broadcast
+        # hash relations for e2/e3 are built in ascending key order and
+        # the wedge stream probes them in (near-)ascending order, which
+        # turns the second join's ~|wedges| random probes into
+        # sequential memory walks. Measured on the sf0.1 cosupply graph
+        # (complete K1000, 166M wedges): 14s vs 24-40s for the identical
+        # plan over an unsorted layout — plan shape unchanged, only the
+        # physical row order. One ≤5M-row range exchange over blocks.
+        e = _materialize_postings(
+            oriented.orderBy("src", "dst"), "tri_oriented_sorted"
+        )
+    else:
+        # Above the broadcast limit the joins are sort-merge: each join
+        # re-sorts by its own key, so a global (src, dst) sort + second
+        # |E|-row materialization bought nothing and doubled the block
+        # footprint at exactly the scale where memory is tightest.
+        e = oriented
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -146,8 +164,13 @@ def triangle_count(graph: PropertyGraph, orient: str = "degree"):
         or vmin < 0  # bit positions need non-negative ids
         or (vmax + 1) * nwords * 8 > DENSE_BITMAP_MAX_BYTES
     ):
-        # sparse / huge-id fallback: the enumeration join plan
-        return triangles(graph, orient).agg(F.count("*").alias("n_triangles"))
+        # sparse / huge-id fallback: the enumeration join plan, REUSING
+        # the oriented table materialized above (it was rebuilt from
+        # graph.edges before — degree joins re-run + a third |E|-row
+        # block table held live; heap-OOM at 100M edges on 16g)
+        return triangles(graph, orient, oriented=e).agg(
+            F.count("*").alias("n_triangles")
+        )
     words = e.select(
         "src",
         F.shiftright(F.col("dst"), 6).alias("w"),

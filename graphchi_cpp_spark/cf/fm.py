@@ -150,25 +150,58 @@ def featurize(
         for i in idxs:
             if i in small:
                 continue
-            # distributed assignment of the same value-ordered contiguous
-            # codes: range-partitioned sort, then zipWithIndex (indices
-            # follow partition order, which after sort IS value order)
+            # Distributed assignment of the same value-ordered contiguous
+            # codes, JVM-only (guide §4: the former ``rdd.zipWithIndex``
+            # pickled every distinct value out to Python row-at-a-time and
+            # re-serialized the result through ``createDataFrame`` — one
+            # full cross-engine round trip per wide column at 100 TB):
+            # range-partition by value (partition p's values all sort
+            # before partition p+1's), collect the per-partition counts
+            # (one tiny row per partition), then
+            # code = cumulative-offset(pid) + row_number within pid.
+            # The mapping is identical for ANY range-boundary placement,
+            # so the range partitioner's sampling cannot affect results.
             spark = df.sparkSession
-            vals = combined.where(F.col("ci") == i).select("val")
-            val_type = vals.schema["val"].dataType
-            from pyspark.sql.types import LongType, StructField, StructType
-
-            vocabs[i] = spark.createDataFrame(
-                vals.orderBy("val").rdd.zipWithIndex().map(
-                    lambda t: (t[0]["val"], t[1])
-                ),
-                StructType(
-                    [
-                        StructField("val", val_type),
-                        StructField("code", LongType()),
-                    ]
-                ),
-            ).localCheckpoint(eager=True)
+            n_parts = max(
+                1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            )
+            # lazy: the per-partition count collect below materializes the
+            # checkpoint in its own job; the code-assignment join then
+            # reads the same blocks (job folding, see checkpoints.py)
+            ranged = (
+                combined.where(F.col("ci") == i)
+                .select("val")
+                .repartitionByRange(n_parts, "val")
+                .withColumn("_pid", F.spark_partition_id())
+                .localCheckpoint(eager=False)
+            )
+            pid_counts = {
+                r["_pid"]: r["cnt"]
+                for r in ranged.groupBy("_pid")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            acc = 0
+            off_rows = []
+            for pid_ in sorted(pid_counts):
+                off_rows.append((pid_, acc))
+                acc += pid_counts[pid_]
+            off_df = spark.createDataFrame(
+                off_rows, "_pid int, _off long"
+            )
+            vocabs[i] = (
+                ranged.join(F.broadcast(off_df), "_pid")
+                .withColumn(
+                    "code",
+                    F.row_number()
+                    .over(Window.partitionBy("_pid").orderBy("val"))
+                    .cast("long")
+                    - 1
+                    + F.col("_off"),
+                )
+                .select("val", "code")
+                .localCheckpoint(eager=True)
+            )
             sizes[i] = int(cnts.get(i, 0))
     offsets = [sum(sizes[:i]) for i in range(len(sizes))]
 
