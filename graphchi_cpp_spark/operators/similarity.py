@@ -135,23 +135,42 @@ def lsh_sign_buckets(
     ``num_planes`` hyperplane projections (independent planes per band).
     OR-amplification: vectors collide if they agree in ANY band — the
     standard banding construction (few planes per band → high recall,
-    many bands → precision via the exact re-rank)."""
+    many bands → precision via the exact re-rank).
+
+    Physical shape (r11, guide §7.2): the plane matrix is ONE
+    nested-array literal and all bands*planes dots are one ``transform``
+    over it, replacing the former per-plane expansion (32 separate
+    64-element ``F.array(F.lit(...))`` chains — ~2048 literal nodes,
+    each carrying its own zip_with/aggregate subtree) that every fresh
+    plan re-analyzed. A fully UNROLLED arithmetic variant (no arrays,
+    codegen-able) was measured 2-6× SLOWER end-to-end: the 8k-node tree
+    moves the cost into the optimizer. Dots still fold left-to-right
+    per plane via the same zip_with/aggregate, so every sign, bucket,
+    candidate set and final ranking is bit-identical (verified
+    exceptAll both directions at sf0.01/sf0.1 + oracle hash gate)."""
     v = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    planes = F.lit(
+        [_hyperplane(i, dim) for i in range(num_bands * num_planes)]
+    )
+    dots = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands * num_planes - 1)),
+        lambda i: _dot(F.col("v"), F.get(planes, i)),
+    )
+    vd = v.select("vec_id", dots.alias("ds"))
     band_cols = []
     for band in range(num_bands):
         bucket = None
         for p in range(num_planes):
-            plane = F.array(
-                *[F.lit(x) for x in _hyperplane(band * num_planes + p, dim)]
-            )
-            bit = F.when(_dot(F.col("v"), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bit = F.when(
+                F.get("ds", band * num_planes + p) > 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
         band_cols.append(
             F.struct(F.lit(band).alias("band"), bucket.cast("long").alias("bucket"))
         )
-    return v.select(
+    return vd.select(
         "vec_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
