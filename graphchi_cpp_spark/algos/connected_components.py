@@ -219,15 +219,22 @@ def connected_components_star(
 
 
 def _star_rounds(graph: PropertyGraph, p: int, max_iter: int) -> DataFrame:
+    from graphchi_cpp_spark.checkpoints import CheckpointJanitor
+
     # lineage is cut EVERY round: E is referenced twice per round (self
     # + swap), so anything short of a checkpoint doubles the logical
     # plan per iteration (cache() bounds recomputation, not plan size)
-    E = (
+    # janitor (r11): each round's signature/probe supersedes the previous
+    # round's edge checkpoint — free those blocks deterministically
+    # instead of letting them pile up until the driver's periodic GC
+    # (observed: back-to-back 30M-edge runs degrading 49 -> 107s as dead
+    # generations accumulate in the block manager)
+    jan = CheckpointJanitor(graph.edges.sparkSession)
+    E = jan.checkpoint(
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .repartition(p, "src")
-        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for it in range(max_iter):
@@ -255,12 +262,12 @@ def _star_rounds(graph: PropertyGraph, p: int, max_iter: int) -> DataFrame:
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .repartition(p, "src")
-            # lazy: the signature aggregation below references nE exactly
-            # once and MATERIALIZES the checkpoint in the same job — the
-            # eager variant paid a materialization job, then re-scanned
-            # the same blocks for the signature (two jobs per round)
-            .localCheckpoint(eager=False)
         )
+        # lazy: the signature aggregation below references nE exactly
+        # once and MATERIALIZES the checkpoint in the same job — the
+        # eager variant paid a materialization job, then re-scanned
+        # the same blocks for the signature (two jobs per round)
+        nE = jan.checkpoint_lazy(nE)
         # fixpoint signature: count + modular hash sum (pmod keeps the
         # ANSI-mode sum far from long overflow at any edge count)
         sig = tuple(
@@ -271,6 +278,9 @@ def _star_rounds(graph: PropertyGraph, p: int, max_iter: int) -> DataFrame:
                 F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))),
             ).collect()[0]
         )
+        # previous round's E is superseded now that the signature job
+        # materialized nE — free its blocks
+        jan.sweep()
         E = nE
         if sig == prev_sig:
             break
