@@ -114,11 +114,14 @@ def main():
             n_pass += 1
 
     # committable artifact in the driver's CORRECTNESS_r{N}.json shape —
-    # covers every registered query, not just the driver's sample
-    if not only:
+    # covers every registered query, not just the driver's sample.
+    # SPARK_GRAFT_CORRECTNESS_OUT writes a subset run to a named file
+    # (e.g. the touched-queries-at-sf0.1 gate committed per round).
+    out_override = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT")
+    if not only or out_override:
         import json
 
-        out = os.path.join(os.path.dirname(os.path.dirname(
+        out = out_override or os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_local.json")
         with open(out, "w") as f:
             json.dump({"sf_dir": sf_dir, "unix_time": int(time.time()),
